@@ -1,38 +1,88 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ER/dedup slice over the sf0.001
+``documents`` table; ``queries()``/``oracle_sql()`` expose one entry per
+implemented operator from SURVEY.md §2 (registry in
+lab02_citation_matching_and_entity_resolution_spark/queries_catalog.py), each
+with a DuckDB-equivalent oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: near-duplicate document detection over sf0.001.
+
+    Blocks documents by (lang, source), scores within-block pairs with
+    normalized-Levenshtein + token-Jaccard, thresholds, and returns the
+    candidate duplicate pairs — the engine's core ER slice on the driver's
+    documents table.
+    """
+    from pyspark.sql import functions as F
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        jaccard_col,
+        levenshtein_sim_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("text"),
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    a = docs.select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("left_id"),
+        F.col("text").alias("l_text"),
+        F.col("tokens").alias("l_tokens"),
+    )
+    b = docs.select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("right_id"),
+        F.col("text").alias("r_text"),
+        F.col("tokens").alias("r_tokens"),
+    )
+    pairs = a.join(b, ["lang", "source"]).where(F.col("left_id") < F.col("right_id"))
+    scored = pairs.select(
+        "lang",
+        "source",
+        "left_id",
+        "right_id",
+        F.round(
+            levenshtein_sim_col(
+                F.substring("l_text", 1, 120), F.substring("r_text", 1, 120)
+            ),
+            4,
+        ).alias("lev_sim"),
+        F.round(jaccard_col(F.col("l_tokens"), F.col("r_tokens")), 4).alias("jaccard"),
+    )
+    return scored.where((F.col("jaccard") >= 0.3) | (F.col("lev_sim") >= 0.5))
+
+
+def _registry():
+    from lab02_citation_matching_and_entity_resolution_spark import (
+        queries_catalog,
+        queries_catalog_ext,  # noqa: F401  (import registers batch-2 queries)
+    )
+
+    return queries_catalog.REGISTRY
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.sql for name, spec in _registry().items() if spec.sql is not None}

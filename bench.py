@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "candidate_pairs_scored_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric is the north-rule throughput: candidate pairs scored per
+second through the full ER scoring stage (blocking -> features -> TF-IDF ->
+rule score) on a deterministic synthetic transcript corpus.  The remaining
+queries time the operator library on the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic ER corpus size for the headline throughput measurement
+N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "600"))
+
+
+def _force(df) -> int:
+    """Fully evaluate a DataFrame (noop sink — no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lab02_citation_matching_and_entity_resolution_spark.session import get_spark
+    from lab02_citation_matching_and_entity_resolution_spark.synth import (
+        SynthConfig,
+        transcripts_df,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+        assemble_documents,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.blocking import (
+        candidate_pairs,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        pair_features,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.tfidf import (
+        pair_tfidf_cosine,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        score_pairs_rule,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators import dedup, ann
+    from lab02_citation_matching_and_entity_resolution_spark.queries_catalog import (
+        REGISTRY,
+        T,
+    )
+
+    spark = get_spark(app_name="er-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: ER scoring throughput over synthetic transcripts ----
+    t0 = time.time()
+    tr = transcripts_df(spark, SynthConfig(n_base=N_BASE)).persist()
+    tr.count()
+    timings["synth_generate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = assemble_documents(tr).persist()
+    docs.count()
+    timings["assemble"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pairs, _ = candidate_pairs(docs)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    timings["blocking"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
+    _force(scored.select("left_id", "right_id", "score"))
+    score_sec = time.time() - t0
+    timings["score_pairs"] = round(score_sec, 3)
+    pairs_per_sec = n_pairs / score_sec if score_sec > 0 else 0.0
+
+    # ---- operator library on the driver's tables ----
+    for name in ["a5_sum_rollups", "j1_blocked_all_pairs", "w3_topk_per_group",
+                 "m1_skew_cap", "a6_doc_freq_idf"]:
+        if name in REGISTRY:
+            t0 = time.time()
+            _force(REGISTRY[name].fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+
+    docs_tbl = T(spark, SF_DIR, "documents")
+    t0 = time.time()
+    sigs = dedup.minhash_signatures(docs_tbl)
+    _force(dedup.minhash_band_pairs(sigs))
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _force(dedup.exact_dedup(docs_tbl))
+    timings["dedup_exact"] = round(time.time() - t0, 3)
+
+    emb = T(spark, SF_DIR, "embeddings")
+    queries = emb.limit(16).select(F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.time()
+    _force(ann.brute_force_topk(emb, queries, k=10))
+    timings["ann_brute_topk"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "candidate_pairs_scored_per_sec",
+                "value": round(pairs_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "n_pairs_scored": n_pairs,
+                "total_sec": total,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two paths:
+
+  brute_force_topk  exact cosine top-k per query — the correctness baseline.
+                    Native array math (zip_with/aggregate) + window top-k.
+  ivf_topk          IVF-style scale path: k-means-lite centroids via
+                    deterministic seeding, assign every vector to its nearest
+                    centroid (broadcast), probe only ``n_probe`` closest cells
+                    per query.  Candidate set shrinks ~n_cells/n_probe ×,
+                    turning the all-pairs join into a cell-local join — the
+                    same blocking idea the ER pipeline uses for text.
+
+At 100 TB the centroid table stays tiny (broadcast), assignment is a map-only
+stage, and the join shuffles on cell id — no cross-join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm_col(vec_col: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+
+
+def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rk<=k).
+
+    queries: (query_id, embedding).  Broadcast the (small) query side; the
+    item table streams through once — no shuffle of the big side.
+    """
+    it = items.select(
+        F.col(id_col), F.col(vec_col).alias("iv"), _norm_col(vec_col).alias("inorm")
+    )
+    qs = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("qv"), _norm_col(vec_col).alias("qnorm")
+    )
+    scored = it.crossJoin(F.broadcast(qs)).select(
+        query_id_col,
+        id_col,
+        F.round(_dot("iv", "qv") / (F.col("inorm") * F.col("qnorm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def seed_centroids(
+    items: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid pick: the n_cells vectors with smallest
+    md5(id) — seeding-only 'k-means' (one refinement step optional)."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        items.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_cells)
+        .select(
+            (F.col("_rk") - 1).alias("cell_id"),
+            F.col(vec_col).alias("centroid"),
+            _norm_col(vec_col).alias("cnorm"),
+        )
+    )
+
+
+def assign_cells(
+    items: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Attach the n_probe nearest cell ids to every vector (broadcast join)."""
+    it = items.select(F.col(id_col).alias(out_id), F.col(vec_col), _norm_col(vec_col).alias("vnorm"))
+    joined = it.crossJoin(F.broadcast(centroids)).select(
+        out_id,
+        vec_col,
+        "cell_id",
+        (_dot(vec_col, "centroid") / (F.col("vnorm") * F.col("cnorm"))).alias("sim"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        joined.withColumn("_p", F.row_number().over(w))
+        .where(F.col("_p") <= n_probe)
+        .select(out_id, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-blocked approximate top-k: join items and queries on cell_id only."""
+    cents = seed_centroids(items, n_cells, id_col, vec_col).persist()
+    it = assign_cells(items, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
+        vec_col, "iv"
+    )
+    qs = assign_cells(
+        queries, cents, query_id_col, vec_col, n_probe=n_probe, out_id=query_id_col
+    ).withColumnRenamed(vec_col, "qv")
+    scored = it.join(qs, "cell_id").select(
+        query_id_col,
+        F.col(id_col),
+        F.round(
+            _dot("iv", "qv")
+            / (
+                F.sqrt(F.aggregate(F.transform("iv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+                * F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.groupBy(query_id_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

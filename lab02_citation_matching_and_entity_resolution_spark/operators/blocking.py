@@ -1,0 +1,198 @@
+"""Multi-pass candidate-pair blocking with skew capping (SURVEY.md §2.3 J1/J2, §2.9 M1).
+
+The reference blocks on a single equi-key (paper_id) and takes the per-block
+cross product (ref: src/match_utils.py:427-495), capping oversized blocks by
+random downsample (MAX_REFS/MAX_BIBS=200, :592-595).  At transcript scale one
+key is not enough: we run several independent blocking passes and union their
+candidate pairs —
+
+  pass "token"     : prefix of the normalized document text (exact-dup key —
+                     the analogue of the reference's arxiv_exact short-circuit
+                     join, :446-448)
+  pass "signature" : role/tool multiset + turn-count bucket (structural key)
+  pass "minhash"   : MinHash-LSH over char-shingle sets of doc_text
+                     (approxSimilarityJoin; recall extender)
+
+Every pass produces canonical (left_id < right_id) pairs; passes are
+deduplicated with one distinct.  Skew: any block larger than ``block_cap``
+is capped BEFORE the self-join by a deterministic hash-ranked row_number —
+order-free (no rand(); reference's random.sample is row-order dependent, see
+SURVEY §7.4.4) — and every cap event is counted into a metrics DataFrame (no
+silent truncation).
+
+Scale notes: the self-join per pass shuffles on block_key; the cap bounds the
+worst block to cap^2/2 pairs.  AQE skew-join splits residual imbalance.  The
+LSH pass's join is bucketed by (band hash) — bounded fan-out by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BLOCK_CAP = 200  # reference MAX_REFS = MAX_BIBS = 200 (notebook cell 3)
+
+
+@dataclass
+class BlockingConfig:
+    token_prefix_len: int = 48      # chars of normalized doc_text in the token key
+    block_cap: int = DEFAULT_BLOCK_CAP
+    seed: int = 23120334
+    minhash_enabled: bool = True
+    shingle_len: int = 5
+    minhash_tables: int = 8
+    minhash_threshold: float = 0.5  # max Jaccard *distance* for LSH join
+    passes: tuple[str, ...] = ("token", "signature", "minhash")
+    num_features: int = 1 << 18     # HashingTF width for shingles
+
+
+def _canonical_pairs(joined: DataFrame, pass_name: str) -> DataFrame:
+    return joined.select(
+        F.least("l_id", "r_id").alias("left_id"),
+        F.greatest("l_id", "r_id").alias("right_id"),
+        F.lit(pass_name).alias("block_pass"),
+        "block_key",
+    ).where(F.col("left_id") != F.col("right_id"))
+
+
+def _cap_block(df: DataFrame, key: str, cap: int, seed: int) -> tuple[DataFrame, DataFrame]:
+    """Deterministically keep at most ``cap`` rows per block key.
+
+    Ranking is by xxhash64(id, seed) — stable under any partitioning/row
+    order, unlike rand().  Returns (capped_df, cap_metrics_df).
+    """
+    from pyspark.sql.window import Window
+
+    ranked = df.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(key).orderBy(F.xxhash64("conv_id", F.lit(seed)), "conv_id")
+        ),
+    )
+    capped = ranked.where(F.col("_rk") <= cap).drop("_rk")
+    metrics = (
+        ranked.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .where(F.col("block_size") > cap)
+        .select(
+            F.col(key).alias("block_key"),
+            F.col("block_size"),
+            F.lit(cap).alias("cap"),
+            (F.col("block_size") - cap).alias("rows_dropped"),
+        )
+    )
+    return capped, metrics
+
+
+def _self_join_pairs(keyed: DataFrame, pass_name: str) -> DataFrame:
+    """Within-block cross product as a self equi-join on block_key."""
+    left = keyed.select(F.col("block_key"), F.col("conv_id").alias("l_id"))
+    right = keyed.select(F.col("block_key"), F.col("conv_id").alias("r_id"))
+    return _canonical_pairs(
+        left.join(right, "block_key").where(F.col("l_id") < F.col("r_id")),
+        pass_name,
+    )
+
+
+def token_prefix_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    keyed = docs.select(
+        "conv_id",
+        F.substring("doc_text", 1, cfg.token_prefix_len).alias("block_key"),
+    ).where(F.length("block_key") > 0)
+    capped, metrics = _cap_block(keyed, "block_key", cfg.block_cap, cfg.seed)
+    return _self_join_pairs(capped, "token"), metrics
+
+
+def signature_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    keyed = docs.select(
+        "conv_id",
+        F.sha1(
+            F.concat_ws(
+                "|",
+                F.concat_ws(",", "roles"),
+                F.concat_ws(",", "tools"),
+                (F.col("n_turns") / 4).cast("int").cast("string"),
+            )
+        ).alias("block_key"),
+    )
+    capped, metrics = _cap_block(keyed, "block_key", cfg.block_cap, cfg.seed)
+    return _self_join_pairs(capped, "signature"), metrics
+
+
+def shingle_expr(text_col: str, n: int) -> F.Column:
+    """Distinct char n-grams of the whitespace-stripped lowercase text.
+
+    Native equivalent of the reference's _char_ngrams
+    (src/feature_engineering_utils.py:71-78) — transform over sequence keeps
+    it inside codegen; no Python.
+    """
+    cleaned = f"regexp_replace(lower({text_col}), '\\\\s+', '')"
+    return F.expr(
+        f"case when length({cleaned}) >= {n} then "
+        f"array_distinct(transform(sequence(1, length({cleaned}) - {n} + 1),"
+        f" i -> substring({cleaned}, i, {n}))) else array() end"
+    )
+
+
+def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """MinHash-LSH candidate pairs over doc_text char shingles (Spark ML)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = docs.select(
+        "conv_id", shingle_expr("doc_text", cfg.shingle_len).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=cfg.num_features, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=cfg.minhash_tables, seed=cfg.seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, cfg.minhash_threshold, distCol="jaccard_dist")
+    pairs = joined.select(
+        F.col("datasetA.conv_id").alias("l_id"),
+        F.col("datasetB.conv_id").alias("r_id"),
+        F.lit("minhash").alias("block_pass"),
+        F.lit("lsh").alias("block_key"),
+    ).where(F.col("l_id") < F.col("r_id"))
+    return pairs.select(
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        "block_pass",
+        "block_key",
+    )
+
+
+def candidate_pairs(docs: DataFrame, cfg: BlockingConfig | None = None) -> tuple[DataFrame, DataFrame]:
+    """Union of all blocking passes, canonical + deduplicated.
+
+    Returns (pairs_df[left_id, right_id, block_passes], cap_metrics_df).
+    """
+    cfg = cfg or BlockingConfig()
+    docs = docs.persist()
+    all_pairs = []
+    all_metrics = []
+    if "token" in cfg.passes:
+        p, m = token_prefix_pass(docs, cfg)
+        all_pairs.append(p.drop("_m"))
+        all_metrics.append(m.withColumn("block_pass", F.lit("token")))
+    if "signature" in cfg.passes:
+        p, m = signature_pass(docs, cfg)
+        all_pairs.append(p)
+        all_metrics.append(m.withColumn("block_pass", F.lit("signature")))
+    if "minhash" in cfg.passes and cfg.minhash_enabled:
+        all_pairs.append(minhash_pass(docs, cfg))
+    unioned = all_pairs[0]
+    for p in all_pairs[1:]:
+        unioned = unioned.unionByName(p)
+    pairs = (
+        unioned.groupBy("left_id", "right_id")
+        .agg(F.sort_array(F.collect_set("block_pass")).alias("block_passes"))
+    )
+    metrics = all_metrics[0]
+    for m in all_metrics[1:]:
+        metrics = metrics.unionByName(m)
+    return pairs, metrics

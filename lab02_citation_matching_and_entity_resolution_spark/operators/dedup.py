@@ -1,0 +1,212 @@
+"""Large-scale training-data deduplication operators.
+
+Beyond the reference's content-hash dedup (ref: src/parse_util.py:1121-1130,
+:1441-1450), the suite a 100 TB text pipeline needs:
+
+  exact_dedup          hash-groupBy on (normalized) content
+  ngram_jaccard_pairs  char n-gram set Jaccard near-dup pairs within blocks
+  minhash_signatures / minhash_band_pairs
+                       MinHash + banded LSH (shingle -> minhash -> band ->
+                       bucket self-join), pure SQL — engine-portable because
+                       the hash is md5-derived (same bits in Spark & DuckDB)
+  simhash64            64-bit SimHash over tokens, hamming-distance pairs
+  embedding_near_dup   cosine near-duplicates over an embedding column
+
+Everything is native DataFrame ops (no Python in the hot path); the md5-based
+hashing keeps every operator reproducible across engines and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .blocking import shingle_expr
+
+
+def _md5_i64(col: F.Column, salt: int) -> F.Column:
+    """Deterministic 63-bit int hash from md5 (portable to DuckDB: same md5)."""
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{salt}"))), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical content; keeper = min id (deterministic)."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-block char-n-gram Jaccard near-duplicate pairs >= threshold."""
+    sh = docs.select(
+        *block_cols, F.col(id_col), shingle_expr(text_col, n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.select(*block_cols, F.col(id_col).alias("left_id"), F.col("sh").alias("sha"))
+    b = sh.select(*block_cols, F.col(id_col).alias("right_id"), F.col("sh").alias("shb"))
+    pairs = a.join(b, list(block_cols)).where(F.col("left_id") < F.col("right_id"))
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature via md5-salted min over shingles.
+
+    explode shingles -> per-salt min aggregation: one shuffle, map-side
+    combinable, no UDF.
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(shingle_expr(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(_md5_i64(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band of minhashes become a pair.
+
+    Band key = md5 of the band's concatenated hashes; self-join per band and
+    union — candidate pairs for near-dup verification.
+    """
+    rows = n_hashes // bands
+    pair_frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        keyed = signatures.select(
+            F.col(id_col), F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        )
+        l = keyed.select(F.col(id_col).alias("left_id"), "band_key")
+        r = keyed.select(F.col(id_col).alias("right_id"), "band_key")
+        pair_frames.append(
+            l.join(r, "band_key").where(F.col("left_id") < F.col("right_id")).select(
+                "left_id", "right_id"
+            )
+        )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    For each bit b: sum over tokens of (+1 if bit set else -1); bit = sign.
+    Expressed as explode -> per-bit conditional sums -> bit reassembly; all
+    native aggregations (64 conditional sums, one shuffle).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = h.groupBy(id_col).agg(*bit_aggs)
+    bit_terms = [
+        F.expr(
+            f"CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+        for b in range(64)
+    ]
+    expr = bit_terms[0]
+    for t in bit_terms[1:]:
+        expr = expr.bitwiseOR(t)
+    return sums.select(F.col(id_col), expr.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on the
+    top ``prefix_bits`` bits (single-probe LSH; catches most close pairs)."""
+    keyed = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.expr(f"simhash >> {64 - prefix_bits}").alias("block"),
+    )
+    a = keyed.select(F.col(id_col).alias("left_id"), F.col("simhash").alias("sa"), "block")
+    b = keyed.select(F.col(id_col).alias("right_id"), F.col("simhash").alias("sb"), "block")
+    pairs = a.join(b, "block").where(F.col("left_id") < F.col("right_id"))
+    hamming = F.bit_count(F.expr("sa ^ sb"))
+    return pairs.select(
+        "left_id", "right_id", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_expr: F.Column | None = None,
+) -> DataFrame:
+    """Cosine near-duplicates over an embedding column.
+
+    Brute-force within optional blocks using native array math
+    (zip_with + aggregate — no Python).  The scale path blocks first
+    (see ann.ivf_topk); this is the verification/baseline operator.
+    """
+    normed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec_col, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+        (block_expr if block_expr is not None else F.lit(0)).alias("block"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"), "block",
+    )
+    b = normed.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"), "block",
+    )
+    pairs = a.join(b, "block").where(F.col("left_id") < F.col("right_id"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

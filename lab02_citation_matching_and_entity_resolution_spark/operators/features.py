@@ -1,0 +1,241 @@
+"""Pairwise similarity features (SURVEY.md §2.7 F13-F26).
+
+Semantics mirror the reference's ``compute_features``
+(ref: src/feature_engineering_utils.py:158-201) with the transcript analog of
+its bibliographic fields:
+
+  reference field            transcript analog
+  -----------------          ------------------------------------------
+  norm_text (title/note)     doc_text (normalized assembled document)
+  title_tokens               tokens (stopword/len>1 filtered)
+  authors_norm               roles ∪ tools (role/tool signature list)
+  author_overlap       F21   role_tool_overlap (Jaccard, either-empty→0.0)
+  author_lastname_match F22  signature_match (any shared tool, either-empty→0.0)
+  year                 F7    year_like (first 4-digit group of doc_text)
+
+Edge rules preserved exactly (pinned by unit tests):
+  levenshtein: equal-and-nonempty→1.0, equal-and-empty→0.0, either-empty→0.0
+    (ref :25-31); jaccard both-empty→0.0 (:50-51); token_overlap_ratio uses RAW
+    list lengths as denominator (:62-68); char n-gram either-empty→0.0
+    (:85-86); year_diff missing→100 sentinel (:198).
+
+Execution: every feature except Jaro-Winkler is a native Catalyst expression
+(whole-stage codegen; `levenshtein` is a JVM builtin).  Jaro-Winkler (required
+by the north star; absent from the reference) runs in one Arrow-batched pandas
+UDF over capped-length prefixes.  TF-IDF cosine is a separate relational
+pipeline (explode→IDF join→normalized dot product) in tfidf.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from .blocking import shingle_expr
+
+YEAR_DIFF_SENTINEL = 100  # ref: src/feature_engineering_utils.py:198
+JW_PREFIX_CAP = 200       # JW is O(n*m); cap document prefix for boundedness
+
+
+# ---------------------------------------------------------------------------
+# Native column expressions
+# ---------------------------------------------------------------------------
+
+def levenshtein_sim_col(a: Column, b: Column) -> Column:
+    """Normalized Levenshtein similarity with the reference's edge rules."""
+    sim = F.lit(1.0) - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .when((a == b) & (F.length(a) > 0), F.lit(1.0))
+        .when(a == b, F.lit(0.0))  # both empty
+        .when((F.length(a) == 0) | (F.length(b) == 0), F.lit(0.0))
+        .otherwise(sim)
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Jaccard on token arrays; both-empty → 0.0 (ref F14)."""
+    a_d, b_d = F.array_distinct(a), F.array_distinct(b)
+    union = F.size(F.array_union(a_d, b_d))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a_d, b_d)) / union
+    )
+
+
+def overlap_count_col(a: Column, b: Column) -> Column:
+    """|set(a) ∩ set(b)| (ref F15)."""
+    return F.size(F.array_intersect(F.array_distinct(a), F.array_distinct(b)))
+
+
+def overlap_ratio_col(a: Column, b: Column) -> Column:
+    """|set∩| / max(RAW list lengths); either-empty → 0.0 (ref F16)."""
+    return F.when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0)).otherwise(
+        overlap_count_col(a, b) / F.greatest(F.size(a), F.size(b))
+    )
+
+
+def either_empty_jaccard_col(a: Column, b: Column) -> Column:
+    """Jaccard with EITHER-empty → 0.0 (ref F21 author_overlap convention)."""
+    a_d, b_d = F.array_distinct(a), F.array_distinct(b)
+    return F.when((F.size(a_d) == 0) | (F.size(b_d) == 0), F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a_d, b_d)) / F.size(F.array_union(a_d, b_d))
+    )
+
+
+def any_shared_col(a: Column, b: Column) -> Column:
+    """1.0 if sets intersect, either-empty → 0.0 (ref F22 lastname rule)."""
+    a_d, b_d = F.array_distinct(a), F.array_distinct(b)
+    return F.when((F.size(a_d) == 0) | (F.size(b_d) == 0), F.lit(0.0)).otherwise(
+        F.when(F.size(F.array_intersect(a_d, b_d)) > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def char_ngram_jaccard_cols(a_text: str, b_text: str, n: int) -> Column:
+    """Char n-gram set Jaccard; either-empty → 0.0 (ref F17).
+
+    Uses the same native shingler as the MinHash pass — one implementation of
+    the n-gram semantics for blocking and features.
+    """
+    a_sh = shingle_expr(a_text, n)
+    b_sh = shingle_expr(b_text, n)
+    return F.when((F.size(a_sh) == 0) | (F.size(b_sh) == 0), F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a_sh, b_sh)) / F.size(F.array_union(a_sh, b_sh))
+    )
+
+
+def year_match_col(a: Column, b: Column) -> Column:
+    return F.when(a.isNotNull() & b.isNotNull() & (a == b), F.lit(1)).otherwise(F.lit(0))
+
+
+def year_diff_col(a: Column, b: Column) -> Column:
+    return F.when(
+        a.isNotNull() & b.isNotNull(), F.abs(a - b)
+    ).otherwise(F.lit(YEAR_DIFF_SENTINEL))
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (Arrow pandas UDF; numpy per pair, batched transfer)
+# ---------------------------------------------------------------------------
+
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 0.0  # align with the engine's both-empty convention
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    b_used = np.zeros(lb, dtype=bool)
+    a_match = np.zeros(la, dtype=bool)
+    matches = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        if lo >= hi:
+            continue
+        cand = np.nonzero((bb[lo:hi] == aa[i]) & ~b_used[lo:hi])[0]
+        if cand.size:
+            b_used[lo + cand[0]] = True
+            a_match[i] = True
+            matches += 1
+    if matches == 0:
+        return 0.0
+    a_seq = aa[a_match]
+    b_seq = bb[b_used]
+    transpositions = int(np.count_nonzero(a_seq != b_seq)) // 2
+    m = float(matches)
+    return (m / la + m / lb + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler similarity (standard Winkler boost, prefix ≤ 4)."""
+    j = _jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.empty(len(a), dtype=np.float64)
+    av, bv = a.fillna("").to_numpy(), b.fillna("").to_numpy()
+    for i in range(len(av)):
+        out[i] = jaro_winkler(av[i][:JW_PREFIX_CAP], bv[i][:JW_PREFIX_CAP])
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# Assembled feature frame
+# ---------------------------------------------------------------------------
+
+FEATURE_COLS = [
+    "levenshtein",
+    "jaccard",
+    "token_overlap",
+    "token_overlap_ratio",
+    "char_ngram_3",
+    "char_ngram_4",
+    "char_ngram_5",
+    "role_tool_overlap",
+    "signature_match",
+    "year_match",
+    "year_diff",
+    "jaro_winkler",
+]
+
+
+def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Attach the full feature vector to candidate pairs.
+
+    ``pairs``: (left_id, right_id, ...); ``docs``: assemble_documents output.
+    Two shuffle joins on conv_id recover both sides' document attributes; all
+    features are computed pipeline-local after the joins (no extra shuffle).
+    """
+    l = docs.select(
+        F.col("conv_id").alias("left_id"),
+        F.col("doc_text").alias("l_text"),
+        F.col("tokens").alias("l_tokens"),
+        F.concat(F.col("roles"), F.col("tools")).alias("l_sig"),
+        F.col("tools").alias("l_tools"),
+        F.col("year_like").alias("l_year"),
+    )
+    r = docs.select(
+        F.col("conv_id").alias("right_id"),
+        F.col("doc_text").alias("r_text"),
+        F.col("tokens").alias("r_tokens"),
+        F.concat(F.col("roles"), F.col("tools")).alias("r_sig"),
+        F.col("tools").alias("r_tools"),
+        F.col("year_like").alias("r_year"),
+    )
+    joined = pairs.join(l, "left_id").join(r, "right_id")
+    return (
+        joined.withColumn("levenshtein", levenshtein_sim_col(F.col("l_text"), F.col("r_text")))
+        .withColumn("jaccard", jaccard_col(F.col("l_tokens"), F.col("r_tokens")))
+        .withColumn("token_overlap", overlap_count_col(F.col("l_tokens"), F.col("r_tokens")))
+        .withColumn(
+            "token_overlap_ratio", overlap_ratio_col(F.col("l_tokens"), F.col("r_tokens"))
+        )
+        .withColumn("char_ngram_3", char_ngram_jaccard_cols("l_text", "r_text", 3))
+        .withColumn("char_ngram_4", char_ngram_jaccard_cols("l_text", "r_text", 4))
+        .withColumn("char_ngram_5", char_ngram_jaccard_cols("l_text", "r_text", 5))
+        .withColumn("role_tool_overlap", either_empty_jaccard_col(F.col("l_sig"), F.col("r_sig")))
+        .withColumn("signature_match", any_shared_col(F.col("l_tools"), F.col("r_tools")))
+        .withColumn("year_match", year_match_col(F.col("l_year"), F.col("r_year")))
+        .withColumn("year_diff", year_diff_col(F.col("l_year"), F.col("r_year")))
+        .withColumn("source_year", F.col("l_year"))
+        .withColumn("cand_year", F.col("r_year"))
+        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("l_text"), F.col("r_text")))
+    )

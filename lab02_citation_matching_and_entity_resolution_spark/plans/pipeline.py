@@ -1,0 +1,89 @@
+"""End-to-end ER pipeline (SURVEY.md §3): transcripts -> clusters + metrics.
+
+Stage graph (each stage a pure DataFrame -> DataFrame function; the pipeline
+only sequences them and optionally checkpoints between stages):
+
+  assemble   transcripts -> documents           (shuffle on conv_id)
+  block      documents  -> candidate pairs      (multi-pass, skew-capped)
+  featurize  pairs      -> feature vectors      (2 joins on conv_id + UDF)
+  score      features   -> rule/logistic score  (pipeline-local)
+  resolve    scores     -> matches              (threshold [+ greedy 1:1])
+  cluster    matches    -> entity clusters      (iterative min-label CC)
+
+Mirrors the reference's three notebook entry points collapsed into one lazy
+lineage (ref: notebooks/parse_runner → match_and_fe → modeling); the
+materialization boundaries the reference forces through JSONL files
+(SURVEY §3) become optional parquet checkpoints via tables.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.assemble import assemble_documents
+from ..operators.blocking import BlockingConfig, candidate_pairs
+from ..operators.clustering import connected_components
+from ..operators.features import pair_features
+from ..operators.metrics import cluster_quality, pairwise_prf
+from ..operators.resolve import greedy_one_to_one
+from ..operators.scoring import score_pairs_rule
+from ..operators.tfidf import pair_tfidf_cosine
+
+DEFAULT_THRESHOLD = 0.7  # reference MATCH_THRESHOLD (match_and_fe.ipynb cell 3)
+
+
+@dataclass
+class PipelineConfig:
+    threshold: float = DEFAULT_THRESHOLD
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    use_greedy_one_to_one: bool = False  # reference-parity resolution mode
+    max_cc_iter: int = 25
+
+
+@dataclass
+class PipelineResult:
+    documents: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+    block_metrics: DataFrame
+
+
+def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    docs = assemble_documents(transcripts).persist()
+    pairs, block_metrics = candidate_pairs(docs, cfg.blocking)
+    feat = pair_features(pairs, docs)
+    feat = pair_tfidf_cosine(feat, docs)
+    scored = score_pairs_rule(feat).persist()
+
+    if cfg.use_greedy_one_to_one:
+        with_block = scored.withColumn(
+            "block_key", F.concat_ws(",", "block_passes")
+        )
+        matches = greedy_one_to_one(with_block, cfg.threshold).select(
+            "left_id", "right_id", "score"
+        )
+    else:
+        matches = scored.where(F.col("score") >= cfg.threshold).select(
+            "left_id", "right_id", "score"
+        )
+
+    matches = matches.persist()
+    clusters = connected_components(
+        matches, vertices=docs.select("conv_id"), max_iter=cfg.max_cc_iter
+    )
+    return PipelineResult(docs, pairs, scored, matches, clusters, block_metrics)
+
+
+def evaluate(result: PipelineResult, labeled_pairs: DataFrame, truth_membership: DataFrame) -> dict:
+    """North-rule metrics: pairwise F1 on labeled pairs + cluster quality."""
+    pair_metrics = pairwise_prf(
+        result.matches.select("left_id", "right_id"), labeled_pairs
+    )
+    cq = cluster_quality(result.clusters, truth_membership)
+    return {"pairs": pair_metrics, "clusters": cq}

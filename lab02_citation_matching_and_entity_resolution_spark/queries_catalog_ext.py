@@ -1,0 +1,292 @@
+"""Catalog batch 2: training-data pipeline operators with DuckDB oracles.
+
+Deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search (brute-force cosine top-k; IVF variant rows-only), and text analysis
+(language-ID, quality scoring, token counting, fingerprinting).  Registered
+into the same REGISTRY as queries_catalog (importing this module is enough).
+
+Engine-portability rules used here:
+  * all integer hashes derive from md5 hex (identical bits in Spark & DuckDB):
+    Spark  conv(substring(md5(x),1,15), 16, 10)::long
+    DuckDB CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+  * embedding math is cast to double on the Spark side before dot products so
+    both engines accumulate in float64; cosines rounded to 6dp BEFORE ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import ann, dedup, textstats
+from .queries_catalog import T, q
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+q_dedup_exact_sql = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+@q("dedup_exact", q_dedup_exact_sql, "exact dedup: hash-groupBy, min-id keeper")
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+q_dedup_ngram_sql = """
+WITH cleaned AS (
+  SELECT doc_id, lang, source, regexp_replace(lower(text), '\\s+', '', 'g') AS c
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN length(c) >= 3
+              THEN list_distinct(list_transform(range(1, length(c) - 1),
+                                                i -> substr(c, CAST(i AS INT), 3)))
+              ELSE [] END AS s
+  FROM cleaned
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+             len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0
+  AND len(list_intersect(a.s, b.s)) * 1.0 /
+      len(list_distinct(list_cat(a.s, b.s))) >= 0.5
+"""
+
+
+@q("dedup_ngram_jaccard", q_dedup_ngram_sql,
+   "char-3-gram Jaccard near-dup pairs within (lang, source) blocks")
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def _duck_minhash_cte(n_hashes: int, shingle_n: int) -> str:
+    mins = ",\n         ".join(
+        "MIN(CAST(concat('0x', substr(md5(concat(sh, '#%d')), 1, 15)) AS BIGINT)) AS h%d"
+        % (i, i)
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS c FROM documents
+),
+exploded AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, length(c) - {shingle_n - 2}),
+           i -> substr(c, CAST(i AS INT), {shingle_n})))) AS sh
+  FROM cleaned WHERE length(c) >= {shingle_n}
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM exploded GROUP BY doc_id
+)
+"""
+
+
+q_minhash_sig_sql = _duck_minhash_cte(8, 4) + """
+SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs
+"""
+
+
+@q("dedup_minhash_signatures", q_minhash_sig_sql,
+   "MinHash signatures via md5-salted min-agg (engine-identical bits)")
+def dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(
+        T(spark, sf_dir, "documents"), n_hashes=8, shingle_n=4
+    )
+
+
+q_minhash_pairs_sql = _duck_minhash_cte(8, 4) + """
+, banded AS (
+  SELECT doc_id, md5(concat_ws('|', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(concat_ws('|', CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR))) FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(concat_ws('|', CAST(h4 AS VARCHAR), CAST(h5 AS VARCHAR))) FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(concat_ws('|', CAST(h6 AS VARCHAR), CAST(h7 AS VARCHAR))) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM banded a JOIN banded b ON a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@q("dedup_minhash_band_pairs", q_minhash_pairs_sql,
+   "banded MinHash-LSH candidate pairs (shingle->minhash->band->bucket join)")
+def dedup_minhash_band_pairs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(
+        T(spark, sf_dir, "documents"), n_hashes=8, shingle_n=4
+    )
+    return dedup.minhash_band_pairs(sigs, n_hashes=8, bands=4)
+
+
+@q("dedup_simhash_pairs", None,
+   "SimHash64 near-pairs (xxhash64 token bits; no engine-portable oracle -> rows-only)")
+def dedup_simhash_pairs(spark, sf_dir):
+    sim = dedup.simhash64(T(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(sim, max_hamming=8)
+
+
+q_embedding_near_sql = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.6
+"""
+
+
+@q("dedup_embedding_cosine", q_embedding_near_sql,
+   "embedding-cosine near-dup pairs, blocked on label")
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_dup(
+        emb, threshold=0.6, block_expr=F.col("label")
+    )
+
+
+# =========================================================================
+# Similarity search (ANN)
+# =========================================================================
+
+q_ann_brute_sql = """
+WITH queries AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN queries q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+"""
+
+
+@q("ann_brute_force_topk", q_ann_brute_sql,
+   "exact cosine top-10 per query (broadcast queries, stream items)")
+def ann_brute_force_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.brute_force_topk(emb, queries, k=10)
+
+
+@q("ann_ivf_topk", None,
+   "IVF-blocked approximate top-k (centroid assignment; rows-only check)")
+def ann_ivf_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+q_quality_sql = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / NULLIF(LENGTH(text), 0), 6) AS alpha_ratio
+FROM documents
+"""
+
+
+@q("text_quality_core", q_quality_sql,
+   "quality scoring core ratios (length / alpha); full score rows-only via operator")
+def text_quality_core(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        F.size(F.split(text, r"\s+")).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+            / F.nullif(F.length(text), F.lit(0)),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+@q("text_quality_score", None,
+   "composite quality score (operator; heuristic weights) — rows-only")
+def text_quality_score(spark, sf_dir):
+    return textstats.quality_score(T(spark, sf_dir, "documents"))
+
+
+q_token_counts_sql = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe_pieces
+FROM documents
+"""
+
+
+@q("text_token_counts", q_token_counts_sql,
+   "whitespace + BPE-ish piece token counting")
+def text_token_counts(spark, sf_dir):
+    return textstats.token_counts(T(spark, sf_dir, "documents"))
+
+
+@q("text_language_id", None, "stopword-hit language ID heuristic — rows-only")
+def text_language_id(spark, sf_dir):
+    return textstats.language_id(T(spark, sf_dir, "documents"))
+
+
+q_fingerprint_sql = """
+WITH cleaned AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS c FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(c) >= 8
+              THEN list_distinct(list_transform(range(1, length(c) - 6),
+                                                i -> substr(c, CAST(i AS INT), 8)))
+              ELSE [] END AS s
+  FROM cleaned
+),
+hashed AS (
+  SELECT doc_id,
+         list_sort(list_transform(s,
+           x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))) AS hs
+  FROM sh
+)
+SELECT doc_id,
+       md5(array_to_string(list_transform(hs[1:8], x -> CAST(x AS VARCHAR)), ',')) AS fingerprint
+FROM hashed
+"""
+
+
+@q("text_fingerprint", q_fingerprint_sql,
+   "winnowing-style min-k shingle-hash document fingerprint")
+def text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(T(spark, sf_dir, "documents"), k=8)

@@ -1,0 +1,90 @@
+"""Iceberg-or-parquet table layer (SURVEY.md §2.1, §7.0).
+
+On a real cluster the engine targets Iceberg (``USING iceberg`` +
+``overwritePartitions`` snapshots — the north rule's per-partition resume
+substrate).  The sandbox has no Iceberg runtime jar and no network, so the
+same API is backed by parquet directories with partition-dir overwrite
+(``partitionOverwriteMode=dynamic``), keeping all pipeline code
+format-agnostic: swap the catalog in one place, nothing downstream changes.
+
+Replaces the reference's materialized-JSONL stage boundaries
+(ref: src/parse_util.py:1575-1581 _append_jsonl; src/match_utils.py:554-556
+append-mode restart; :854-874 partitioned split sink).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    return bool(
+        spark.conf.get("spark.sql.catalog.spark_catalog", None)
+        or spark.conf.get("spark.sql.catalog.er", None)
+    )
+
+
+@dataclass
+class TableStore:
+    """Named-table IO rooted at ``root`` (parquet) or an Iceberg catalog."""
+
+    spark: SparkSession
+    root: str
+    catalog: str | None = None  # e.g. "er" when an Iceberg catalog is configured
+
+    def _use_iceberg(self) -> bool:
+        return self.catalog is not None and _iceberg_available(self.spark)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        if self._use_iceberg():
+            return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        return os.path.isdir(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self._use_iceberg():
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def create_or_replace(self, df: DataFrame, name: str, partition_by: list[str] | None = None):
+        """S11 output-truncate semantics (ref parse_util.py:1620-1631)."""
+        if self._use_iceberg():
+            w = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                w = w.partitionedBy(*[col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None):
+        """S7 append-sink semantics (ref parse_util.py:1575-1581)."""
+        if self._use_iceberg():
+            df.writeTo(f"{self.catalog}.{name}").append()
+            return
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]):
+        """Replace only the partitions present in ``df`` — the resume
+        substrate (Iceberg overwritePartitions / dynamic parquet overwrite)."""
+        if self._use_iceberg():
+            df.writeTo(f"{self.catalog}.{name}").overwritePartitions()
+            return
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(self._path(name))
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

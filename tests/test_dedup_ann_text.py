@@ -1,0 +1,120 @@
+"""Unit tests for the training-data operators: dedup suite, ANN, text stats."""
+
+from pyspark.sql import functions as F
+
+from lab02_citation_matching_and_entity_resolution_spark.operators import (
+    ann,
+    dedup,
+    textstats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "en", "s1"),  # near dup
+        (4, "completely different text about spark shuffles", "en", "s1"),
+        (5, "der hund ist nicht mit der katze", "de", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup(spark):
+    got = dedup.exact_dedup(_docs(spark)).collect()
+    groups = {r["keeper_id"]: r["group_size"] for r in got}
+    assert groups[1] == 2  # docs 1 and 2 identical
+    assert sum(groups.values()) == 5
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+    exact = [r for r in pairs if (r["left_id"], r["right_id"]) == (1, 2)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = dedup.minhash_signatures(_docs(spark), n_hashes=16, shingle_n=4)
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_band_pairs(sigs, n_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs  # near dup: high shingle overlap
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    sim = dedup.simhash64(_docs(spark))
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]  # identical token multiset -> identical simhash
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.simhash_near_pairs(sim, max_hamming=16).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_embedding_near_dup_and_ann(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.05, 0.0], 0),   # near dup of 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    near = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.embedding_near_dup(emb, threshold=0.95, block_expr=F.col("label")).collect()
+    }
+    assert near == {(1, 2)}
+
+    queries = emb.where("vec_id = 1").select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = ann.brute_force_topk(emb, queries, k=2).collect()
+    order = [r["vec_id"] for r in sorted(topk, key=lambda r: r["rk"])]
+    assert order == [1, 2]
+
+
+def test_ivf_recall_vs_brute(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = ann.brute_force_topk(emb, queries, k=5)
+    ivf = ann.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    # probing half the cells must recover at least 60% of true neighbors
+    assert len(b & i) / len(b) >= 0.6
+    # the query vector itself is always its own top hit in both
+    assert all((q, q) in i for q in range(5))
+
+
+def test_language_id(spark):
+    got = {r["doc_id"]: r["lang_guess"] for r in textstats.language_id(_docs(spark)).collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_quality_and_tokens(spark):
+    q = {r["doc_id"]: r for r in textstats.quality_score(_docs(spark)).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert 0.0 <= q[1]["quality"] <= 1.0
+    t = {r["doc_id"]: r for r in textstats.token_counts(_docs(spark)).collect()}
+    assert t[1]["ws_tokens"] == 9
+    assert t[1]["bpe_pieces"] >= 9
+
+
+def test_fingerprint_stability(spark):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(_docs(spark)).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(_docs(spark)).collect()}
+    assert fp1 == fp2
+    assert fp1[1] == fp1[2]  # identical content -> identical fingerprint
+    assert fp1[1] != fp1[4]

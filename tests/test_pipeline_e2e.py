@@ -1,0 +1,102 @@
+"""End-to-end pipeline test (SURVEY.md §5.2.3): synthetic transcripts with
+planted duplicate clusters -> full pipeline -> pairwise F1 >= 0.99 (the north
+metric) plus cluster membership quality, determinism, and stable ordering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab02_citation_matching_and_entity_resolution_spark.plans.pipeline import (
+    PipelineConfig,
+    evaluate,
+    run_pipeline,
+)
+from lab02_citation_matching_and_entity_resolution_spark.synth import (
+    SynthConfig,
+    cluster_truth_df,
+    labeled_pairs_df,
+    transcripts_df,
+)
+
+CFG = SynthConfig(n_base=60)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    transcripts = transcripts_df(spark, CFG).persist()
+    truth = cluster_truth_df(spark, CFG).persist()
+    pairs = labeled_pairs_df(spark, CFG).persist()
+    return transcripts, truth, pairs
+
+
+def test_end_to_end_f1(spark, corpus):
+    transcripts, truth, labeled = corpus
+    result = run_pipeline(transcripts, PipelineConfig())
+    metrics = evaluate(result, labeled, truth)
+    # north rule: pairwise F1 >= 0.99 on labeled pairs at shared blocking keys
+    assert metrics["pairs"]["recall"] >= 0.99, metrics
+    assert metrics["pairs"]["f1"] >= 0.99, metrics
+    # transitive clusters must reproduce planted entities
+    assert metrics["clusters"]["f1"] >= 0.99, metrics
+
+
+def test_blocking_recall(spark, corpus):
+    """Every positive labeled pair must be produced by some blocking pass."""
+    transcripts, _, labeled = corpus
+    from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+        assemble_documents,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.blocking import (
+        candidate_pairs,
+    )
+
+    docs = assemble_documents(transcripts)
+    pairs, _ = candidate_pairs(docs)
+    pos = labeled.where(F.col("label") == 1).select("left_id", "right_id")
+    missed = pos.join(pairs, ["left_id", "right_id"], "left_anti").count()
+    assert missed == 0
+
+
+def test_determinism_same_seed(spark, corpus):
+    """Two runs, same seed -> identical match pair sets (SURVEY §5.2.6)."""
+    transcripts, _, _ = corpus
+    r1 = run_pipeline(transcripts, PipelineConfig())
+    r2 = run_pipeline(transcripts, PipelineConfig())
+    m1 = r1.matches.select("left_id", "right_id").distinct()
+    m2 = r2.matches.select("left_id", "right_id").distinct()
+    assert m1.exceptAll(m2).count() == 0
+    assert m2.exceptAll(m1).count() == 0
+
+
+def test_stable_ordering_under_shuffle(spark, corpus):
+    """Shuffled input row order -> byte-identical documents (SURVEY §5.2.7)."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+        assemble_documents,
+    )
+
+    transcripts, _, _ = corpus
+    base = assemble_documents(transcripts).select("conv_id", "doc_text")
+    shuffled = assemble_documents(
+        transcripts.orderBy(F.xxhash64("conv_id", "turn_idx", F.lit(99))).repartition(7)
+    ).select("conv_id", "doc_text")
+    diff = base.join(
+        shuffled.withColumnRenamed("doc_text", "doc_text2"), "conv_id"
+    ).where(F.col("doc_text") != F.col("doc_text2"))
+    assert diff.count() == 0
+
+
+def test_cap_metrics_no_silent_truncation(spark, corpus):
+    """Oversized blocks must be reported in the cap-metrics frame."""
+    transcripts, _, _ = corpus
+    from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+        assemble_documents,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.blocking import (
+        BlockingConfig,
+        candidate_pairs,
+    )
+
+    docs = assemble_documents(transcripts)
+    tiny_cap = BlockingConfig(block_cap=2, minhash_enabled=False)
+    pairs, metrics = candidate_pairs(docs, tiny_cap)
+    reported = metrics.agg(F.sum("rows_dropped")).collect()[0][0]
+    assert reported is not None and reported > 0
