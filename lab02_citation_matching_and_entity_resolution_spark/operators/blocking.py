@@ -42,10 +42,9 @@ class BlockingConfig:
     seed: int = 23120334
     minhash_enabled: bool = True
     shingle_len: int = 5
-    minhash_tables: int = 8
-    minhash_threshold: float = 0.5  # max Jaccard *distance* for LSH join
+    minhash_tables: int = 6         # LSH bands
+    minhash_rows: int = 4           # minhashes per band (s-curve knee ~0.64)
     passes: tuple[str, ...] = ("token", "signature", "minhash")
-    num_features: int = 1 << 18     # HashingTF width for shingles
 
 
 def _canonical_pairs(joined: DataFrame, pass_name: str) -> DataFrame:
@@ -137,32 +136,40 @@ def shingle_expr(text_col: str, n: int) -> F.Column:
 
 
 def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
-    """MinHash-LSH candidate pairs over doc_text char shingles (Spark ML)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """MinHash-LSH candidate pairs over doc_text char shingles.
 
-    shingled = docs.select(
-        "conv_id", shingle_expr("doc_text", cfg.shingle_len).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=cfg.num_features, binary=True
+    Native banded implementation (shingle explode -> salted-min signature ->
+    band-key self-join) rather than Spark ML's MinHashLSH: the ML variant
+    pays vector-UDT construction plus an approxSimilarityJoin whose explode
+    dominated the blocking stage (~6x this pass's cost at bench scale).
+    xxhash64 signatures keep the whole pass in whole-stage codegen.
+    Band keys are themselves skew-capped (a boilerplate shingle shared by
+    thousands of docs would otherwise quadratically explode the self-join).
+    """
+    from .dedup import minhash_band_pairs, minhash_signatures
+
+    n_hashes = cfg.minhash_tables * cfg.minhash_rows
+    sigs = minhash_signatures(
+        docs,
+        n_hashes=n_hashes,
+        shingle_n=cfg.shingle_len,
+        id_col="conv_id",
+        text_col="doc_text",
+        hash_fn="xxhash64",
     )
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=cfg.minhash_tables, seed=cfg.seed
+    pairs = minhash_band_pairs(
+        sigs,
+        n_hashes=n_hashes,
+        bands=cfg.minhash_tables,
+        id_col="conv_id",
+        band_cap=cfg.block_cap,
+        cap_seed=cfg.seed,
     )
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, cfg.minhash_threshold, distCol="jaccard_dist")
-    pairs = joined.select(
-        F.col("datasetA.conv_id").alias("l_id"),
-        F.col("datasetB.conv_id").alias("r_id"),
+    return pairs.select(
+        "left_id",
+        "right_id",
         F.lit("minhash").alias("block_pass"),
         F.lit("lsh").alias("block_key"),
-    ).where(F.col("l_id") < F.col("r_id"))
-    return pairs.select(
-        F.col("l_id").alias("left_id"),
-        F.col("r_id").alias("right_id"),
-        "block_pass",
-        "block_key",
     )
 
 

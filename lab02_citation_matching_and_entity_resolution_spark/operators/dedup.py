@@ -72,18 +72,27 @@ def minhash_signatures(
     shingle_n: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, h0..h{n-1}) MinHash signature via md5-salted min over shingles.
+    """(id, h0..h{n-1}) MinHash signature via salted min over shingles.
 
     explode shingles -> per-salt min aggregation: one shuffle, map-side
-    combinable, no UDF.
+    combinable, no UDF.  hash_fn="md5" gives engine-portable bits (DuckDB
+    oracle parity); hash_fn="xxhash64" is ~10x cheaper and is what the ER
+    blocking hot path uses.
     """
     exploded = docs.select(
         F.col(id_col), F.explode(shingle_expr(text_col, shingle_n)).alias("sh")
     )
-    aggs = [
-        F.min(_md5_i64(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [F.min(_md5_i64(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)]
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -92,30 +101,48 @@ def minhash_band_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
+    band_cap: int | None = None,
+    cap_seed: int = 23120334,
 ) -> DataFrame:
     """Banded LSH: docs sharing any full band of minhashes become a pair.
 
-    Band key = md5 of the band's concatenated hashes; self-join per band and
-    union — candidate pairs for near-dup verification.
+    All bands are keyed in ONE pass (posexplode of the band-key array) so the
+    self-join runs once on (band_idx, band_key) instead of ``bands`` separate
+    joins.  ``band_cap`` bounds any band bucket (boilerplate content shared by
+    thousands of docs would otherwise explode quadratically): deterministic
+    xxhash64-ranked row_number, same discipline as blocking's skew cap.
     """
+    from pyspark.sql.window import Window
+
     rows = n_hashes // bands
-    pair_frames = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        keyed = signatures.select(
-            F.col(id_col), F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        )
-        l = keyed.select(F.col(id_col).alias("left_id"), "band_key")
-        r = keyed.select(F.col(id_col).alias("right_id"), "band_key")
-        pair_frames.append(
-            l.join(r, "band_key").where(F.col("left_id") < F.col("right_id")).select(
-                "left_id", "right_id"
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+                )
             )
+            for b in range(bands)
+        ]
+    )
+    keyed = signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    if band_cap is not None:
+        w = Window.partitionBy("band_idx", "band_key").orderBy(
+            F.xxhash64(id_col, F.lit(cap_seed)), F.col(id_col)
         )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        keyed = keyed.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= band_cap
+        ).drop("_rk")
+    l = keyed.select(F.col(id_col).alias("left_id"), "band_idx", "band_key")
+    r = keyed.select(F.col(id_col).alias("right_id"), "band_idx", "band_key")
+    return (
+        l.join(r, ["band_idx", "band_key"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

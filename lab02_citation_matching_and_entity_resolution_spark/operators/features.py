@@ -38,7 +38,16 @@ from pyspark.sql.types import DoubleType
 from .blocking import shingle_expr
 
 YEAR_DIFF_SENTINEL = 100  # ref: src/feature_engineering_utils.py:198
-JW_PREFIX_CAP = 200       # JW is O(n*m); cap document prefix for boundedness
+
+# The reference computes its string similarities on title-ish norm_text
+# (~100 chars, ref feature_engineering_utils.py:99-102); transcript documents
+# are 10-100x longer, and Levenshtein/JW/char-ngrams are quadratic-ish in
+# length.  Prefix caps bound per-pair cost at scale while staying faithful to
+# the reference's effective operating range; caps are engine constants so
+# features remain deterministic and comparable across runs.
+JW_PREFIX_CAP = 200       # Jaro-Winkler window search is O(n*m)
+LEV_PREFIX_CAP = 500      # JVM levenshtein DP is O(n*m)
+NGRAM_PREFIX_CAP = 400    # shingle-set build + intersect is O(n)·O(set)
 
 
 # ---------------------------------------------------------------------------
@@ -220,22 +229,38 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         F.col("tools").alias("r_tools"),
         F.col("year_like").alias("r_year"),
     )
-    joined = pairs.join(l, "left_id").join(r, "right_id")
+    joined = (
+        pairs.join(l, "left_id")
+        .join(r, "right_id")
+        # bounded prefixes for the quadratic string features (see cap notes)
+        .withColumn("l_pfx", F.substring("l_text", 1, LEV_PREFIX_CAP))
+        .withColumn("r_pfx", F.substring("r_text", 1, LEV_PREFIX_CAP))
+        .withColumn("l_npfx", F.substring("l_text", 1, NGRAM_PREFIX_CAP))
+        .withColumn("r_npfx", F.substring("r_text", 1, NGRAM_PREFIX_CAP))
+    )
     return (
-        joined.withColumn("levenshtein", levenshtein_sim_col(F.col("l_text"), F.col("r_text")))
+        joined.withColumn(
+            "levenshtein",
+            # exact-equality guard still sees the FULL text (so true exact
+            # dupes score 1.0 even beyond the prefix); the DP runs on prefixes
+            F.when(
+                (F.col("l_text") == F.col("r_text")) & (F.length("l_text") > 0), F.lit(1.0)
+            ).otherwise(levenshtein_sim_col(F.col("l_pfx"), F.col("r_pfx"))),
+        )
         .withColumn("jaccard", jaccard_col(F.col("l_tokens"), F.col("r_tokens")))
         .withColumn("token_overlap", overlap_count_col(F.col("l_tokens"), F.col("r_tokens")))
         .withColumn(
             "token_overlap_ratio", overlap_ratio_col(F.col("l_tokens"), F.col("r_tokens"))
         )
-        .withColumn("char_ngram_3", char_ngram_jaccard_cols("l_text", "r_text", 3))
-        .withColumn("char_ngram_4", char_ngram_jaccard_cols("l_text", "r_text", 4))
-        .withColumn("char_ngram_5", char_ngram_jaccard_cols("l_text", "r_text", 5))
+        .withColumn("char_ngram_3", char_ngram_jaccard_cols("l_npfx", "r_npfx", 3))
+        .withColumn("char_ngram_4", char_ngram_jaccard_cols("l_npfx", "r_npfx", 4))
+        .withColumn("char_ngram_5", char_ngram_jaccard_cols("l_npfx", "r_npfx", 5))
         .withColumn("role_tool_overlap", either_empty_jaccard_col(F.col("l_sig"), F.col("r_sig")))
         .withColumn("signature_match", any_shared_col(F.col("l_tools"), F.col("r_tools")))
         .withColumn("year_match", year_match_col(F.col("l_year"), F.col("r_year")))
         .withColumn("year_diff", year_diff_col(F.col("l_year"), F.col("r_year")))
         .withColumn("source_year", F.col("l_year"))
         .withColumn("cand_year", F.col("r_year"))
-        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("l_text"), F.col("r_text")))
+        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("l_pfx"), F.col("r_pfx")))
+        .drop("l_pfx", "r_pfx", "l_npfx", "r_npfx")
     )

@@ -91,25 +91,39 @@ def _base_turns(rng: random.Random, topic: str, n_turns: int) -> list[tuple[str,
     the F1 target verifies plumbing, not model luck).
     """
     session = f"session{rng.getrandbits(40):010x}"
-    jargon = " ".join(f"xq{rng.getrandbits(24):06x}" for _ in range(3))
+    jargon_pool = [f"xq{rng.getrandbits(24):06x}" for _ in range(6)]
     tools = rng.sample(_TOOLS, 2)
     year = rng.randint(1900, 2099)
+    phrasing = rng.randrange(3)  # per-entity template variant
     turns: list[tuple[str, str, str]] = []
     for t in range(n_turns):
         role = ("user", "assistant", "tool")[t % 3]
         verb, noun = rng.choice(_VERBS), rng.choice(_NOUNS)
+        jargon = " ".join(rng.sample(jargon_pool, 3))
+        nonce = f"nx{rng.getrandbits(32):08x}"  # unique per (entity, turn)
         if role == "tool":
             tool = tools[t % 2]
             text = (
-                f"{tool} result for {session}: {verb} {noun} on {jargon}"
-                f" about {topic} returned {rng.randint(1, 99)} rows in {year}"
+                f"{tool} result for {session} item {nonce}: {verb} {noun} on"
+                f" {jargon} about {topic} returned {rng.randint(1, 99)} rows in {year}"
             )
         else:
             tool = ""
-            text = (
-                f"{role} turn {t} of {session}: please {verb} the {noun}"
-                f" covering {jargon} about {topic} circa {year}"
-            )
+            if phrasing == 0:
+                text = (
+                    f"{role} turn {t} of {session}: please {verb} the {noun}"
+                    f" covering {jargon} about {topic} circa {year} see {nonce}"
+                )
+            elif phrasing == 1:
+                text = (
+                    f"{role} message {t} in {session} regarding {nonce}:"
+                    f" {verb} {noun} for {jargon} on {topic} around {year}"
+                )
+            else:
+                text = (
+                    f"{session} {role} step {t}: {noun} {verb} task {nonce}"
+                    f" with {jargon} re {topic} dated {year}"
+                )
         turns.append((role, text, tool))
     return turns
 
