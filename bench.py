@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # synthetic ER corpus size for the headline throughput measurement
-N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "600"))
+N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "2000"))
 
 
 def _force(df) -> int:
@@ -38,7 +38,7 @@ def main() -> None:
     from lab02_citation_matching_and_entity_resolution_spark.session import get_spark
     from lab02_citation_matching_and_entity_resolution_spark.synth import (
         SynthConfig,
-        transcripts_df,
+        transcripts_df_distributed,
     )
     from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
         assemble_documents,
@@ -69,7 +69,7 @@ def main() -> None:
 
     # ---- headline: ER scoring throughput over synthetic transcripts ----
     t0 = time.time()
-    tr = transcripts_df(spark, SynthConfig(n_base=N_BASE)).persist()
+    tr = transcripts_df_distributed(spark, SynthConfig(n_base=N_BASE)).persist()
     tr.count()
     timings["synth_generate"] = round(time.time() - t0, 3)
 

@@ -120,6 +120,20 @@ def signature_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
     return _self_join_pairs(capped, "signature"), metrics
 
 
+def shingle_expr_on(col: F.Column, n: int) -> F.Column:
+    """Distinct char n-grams of an arbitrary string Column (see shingle_expr)."""
+    cleaned = F.regexp_replace(F.lower(col), r"\s+", "")
+    return F.when(
+        F.length(cleaned) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(cleaned) - n + 1),
+                lambda i: cleaned.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_expr(text_col: str, n: int) -> F.Column:
     """Distinct char n-grams of the whitespace-stripped lowercase text.
 
@@ -146,16 +160,20 @@ def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
     Band keys are themselves skew-capped (a boilerplate shingle shared by
     thousands of docs would otherwise quadratically explode the self-join).
     """
-    from .dedup import minhash_band_pairs, minhash_signatures
+    from .dedup import minhash_band_pairs
 
     n_hashes = cfg.minhash_tables * cfg.minhash_rows
-    sigs = minhash_signatures(
-        docs,
-        n_hashes=n_hashes,
-        shingle_n=cfg.shingle_len,
-        id_col="conv_id",
-        text_col="doc_text",
-        hash_fn="xxhash64",
+    # token-level minhash: near-duplicate conversations keep a nearly
+    # identical token SET even under word swaps/insertions, and tokens are
+    # ~10-30x fewer than char shingles — the explode volume (rows x hashes)
+    # drops accordingly.  Char-shingle minhash remains in dedup.py where
+    # sub-token granularity matters.
+    exploded = docs.select("conv_id", F.explode("tokens").alias("tok"))
+    sigs = exploded.groupBy("conv_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
     pairs = minhash_band_pairs(
         sigs,

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from .blocking import shingle_expr
+from .blocking import shingle_expr, shingle_expr_on
 
 YEAR_DIFF_SENTINEL = 100  # ref: src/feature_engineering_utils.py:198
 
@@ -45,18 +45,31 @@ YEAR_DIFF_SENTINEL = 100  # ref: src/feature_engineering_utils.py:198
 # length.  Prefix caps bound per-pair cost at scale while staying faithful to
 # the reference's effective operating range; caps are engine constants so
 # features remain deterministic and comparable across runs.
-JW_PREFIX_CAP = 200       # Jaro-Winkler window search is O(n*m)
-LEV_PREFIX_CAP = 500      # JVM levenshtein DP is O(n*m)
-NGRAM_PREFIX_CAP = 400    # shingle-set build + intersect is O(n)·O(set)
+JW_PREFIX_CAP = 100       # Jaro-Winkler window search is O(n*m)
+LEV_PREFIX_CAP = 250      # JVM levenshtein DP is O(n*k) banded
+LEV_MAX_DIST = 100        # band width: sims below 1-k/len carry no signal
+NGRAM_PREFIX_CAP = 256    # shingle-set build + intersect is O(n)·O(set)
 
 
 # ---------------------------------------------------------------------------
 # Native column expressions
 # ---------------------------------------------------------------------------
 
-def levenshtein_sim_col(a: Column, b: Column) -> Column:
-    """Normalized Levenshtein similarity with the reference's edge rules."""
-    sim = F.lit(1.0) - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+def levenshtein_sim_col(a: Column, b: Column, max_dist: int | None = None) -> Column:
+    """Normalized Levenshtein similarity with the reference's edge rules.
+
+    ``max_dist`` switches to the banded DP (JVM ``levenshtein(l, r, k)``):
+    distances beyond k clamp to similarity 0.0.  O(n*k) instead of O(n*m) —
+    the hot scoring path passes k = LEV_PREFIX_CAP * 0.4 (similarities below
+    0.6 carry no matching signal); the exact operator remains the default for
+    parity queries/tests.
+    """
+    max_len = F.greatest(F.length(a), F.length(b))
+    if max_dist is None:
+        sim = F.lit(1.0) - F.levenshtein(a, b) / max_len
+    else:
+        d = F.levenshtein(a, b, max_dist)  # banded; -1 when dist > max_dist
+        sim = F.when(d < 0, F.lit(0.0)).otherwise(F.lit(1.0) - d / max_len)
     return (
         F.when(a.isNull() | b.isNull(), F.lit(0.0))
         .when((a == b) & (F.length(a) > 0), F.lit(1.0))
@@ -131,35 +144,39 @@ def year_diff_col(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def _jaro(a: str, b: str) -> float:
+    # plain-python loops: per-row numpy calls cost ~1us each in overhead,
+    # which at one call per character made the batched UDF 50x slower than
+    # this (profiled at 861k pairs)
     la, lb = len(a), len(b)
-    if la == 0 and lb == 0:
-        return 0.0  # align with the engine's both-empty convention
     if la == 0 or lb == 0:
-        return 0.0
+        return 0.0  # both-empty also 0.0 (engine convention)
     if a == b:
         return 1.0
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
-    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-    b_used = np.zeros(lb, dtype=bool)
-    a_match = np.zeros(la, dtype=bool)
+    b_used = bytearray(lb)
+    a_matched: list[str] = []
+    b_flags = b_used  # alias for clarity
     matches = 0
     for i in range(la):
-        lo, hi = max(0, i - window), min(lb, i + window + 1)
-        if lo >= hi:
-            continue
-        cand = np.nonzero((bb[lo:hi] == aa[i]) & ~b_used[lo:hi])[0]
-        if cand.size:
-            b_used[lo + cand[0]] = True
-            a_match[i] = True
-            matches += 1
+        ca = a[i]
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                b_flags[j] = 1
+                a_matched.append(ca)
+                matches += 1
+                break
     if matches == 0:
         return 0.0
-    a_seq = aa[a_match]
-    b_seq = bb[b_used]
-    transpositions = int(np.count_nonzero(a_seq != b_seq)) // 2
+    b_matched = [b[j] for j in range(lb) if b_flags[j]]
+    transpositions = sum(1 for x, y in zip(a_matched, b_matched) if x != y) // 2
     m = float(matches)
     return (m / la + m / lb + (m - transpositions) / m) / 3.0
 
@@ -213,48 +230,91 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     Two shuffle joins on conv_id recover both sides' document attributes; all
     features are computed pipeline-local after the joins (no extra shuffle).
     """
-    l = docs.select(
-        F.col("conv_id").alias("left_id"),
-        F.col("doc_text").alias("l_text"),
-        F.col("tokens").alias("l_tokens"),
-        F.concat(F.col("roles"), F.col("tools")).alias("l_sig"),
-        F.col("tools").alias("l_tools"),
-        F.col("year_like").alias("l_year"),
+    # Shingle arrays and prefixes are computed ONCE PER DOCUMENT here, on the
+    # small side of the join.  Computing them per pair looks equivalent but is
+    # catastrophically slower: CollapseProject inlines the shingle expression
+    # into every consumer (intersect, union, both empty-guards, x3 n-gram
+    # sizes), so each pair row rebuilds ~36 distinct-arrays.  The join
+    # boundary below is a hard materialization line the optimizer cannot
+    # re-inline across.  (Profiled: per-pair shingling was the slowest feature
+    # path by >10x at 737k pairs.)
+    def side(prefix: str, id_name: str):
+        npfx = F.substring("doc_text", 1, NGRAM_PREFIX_CAP)
+        # set elements are xxhash64-encoded to array<long>: 8-byte fixed-width
+        # elements make the per-pair array_intersect memory-bandwidth-light
+        # (string sets were the dominant shuffle+intersect cost; 64-bit
+        # collisions are negligible at these set sizes)
+        def hashed(arr: Column) -> Column:
+            return F.transform(arr, lambda s: F.xxhash64(s))
+
+        return docs.select(
+            F.col("conv_id").alias(id_name),
+            F.col("doc_text").alias(f"{prefix}_text"),
+            F.substring("doc_text", 1, LEV_PREFIX_CAP).alias(f"{prefix}_pfx"),
+            F.col("tokens").alias(f"{prefix}_tokens"),
+            hashed(F.array_distinct(F.col("tokens"))).alias(f"{prefix}_tokset"),
+            F.size(F.col("tokens")).alias(f"{prefix}_ntok"),
+            F.concat(F.col("roles"), F.col("tools")).alias(f"{prefix}_sig"),
+            F.col("tools").alias(f"{prefix}_tools"),
+            F.col("year_like").alias(f"{prefix}_year"),
+            *[
+                hashed(shingle_expr_on(npfx, n)).alias(f"{prefix}_sh{n}")
+                for n in (3, 4, 5)
+            ],
+            *[
+                F.size(shingle_expr_on(npfx, n)).alias(f"{prefix}_nsh{n}")
+                for n in (3, 4, 5)
+            ],
+        )
+
+    joined = pairs.join(side("l", "left_id"), "left_id").join(
+        side("r", "right_id"), "right_id"
     )
-    r = docs.select(
-        F.col("conv_id").alias("right_id"),
-        F.col("doc_text").alias("r_text"),
-        F.col("tokens").alias("r_tokens"),
-        F.concat(F.col("roles"), F.col("tools")).alias("r_sig"),
-        F.col("tools").alias("r_tools"),
-        F.col("year_like").alias("r_year"),
-    )
-    joined = (
-        pairs.join(l, "left_id")
-        .join(r, "right_id")
-        # bounded prefixes for the quadratic string features (see cap notes)
-        .withColumn("l_pfx", F.substring("l_text", 1, LEV_PREFIX_CAP))
-        .withColumn("r_pfx", F.substring("r_text", 1, LEV_PREFIX_CAP))
-        .withColumn("l_npfx", F.substring("l_text", 1, NGRAM_PREFIX_CAP))
-        .withColumn("r_npfx", F.substring("r_text", 1, NGRAM_PREFIX_CAP))
-    )
+
+    def ngram_jac(n: int) -> Column:
+        # one array_intersect per pair; |union| = na + nb - |inter| from the
+        # doc-side set sizes (array_union would rebuild a 2x-size hash set)
+        a, b = F.col(f"l_sh{n}"), F.col(f"r_sh{n}")
+        na, nb = F.col(f"l_nsh{n}"), F.col(f"r_nsh{n}")
+        inter = F.size(F.array_intersect(a, b))
+        return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+            inter / (na + nb - inter)
+        )
+
     return (
         joined.withColumn(
             "levenshtein",
             # exact-equality guard still sees the FULL text (so true exact
-            # dupes score 1.0 even beyond the prefix); the DP runs on prefixes
+            # dupes score 1.0 even beyond the prefix); banded DP on prefixes
             F.when(
                 (F.col("l_text") == F.col("r_text")) & (F.length("l_text") > 0), F.lit(1.0)
-            ).otherwise(levenshtein_sim_col(F.col("l_pfx"), F.col("r_pfx"))),
+            ).otherwise(
+                levenshtein_sim_col(F.col("l_pfx"), F.col("r_pfx"), max_dist=LEV_MAX_DIST)
+            ),
         )
-        .withColumn("jaccard", jaccard_col(F.col("l_tokens"), F.col("r_tokens")))
-        .withColumn("token_overlap", overlap_count_col(F.col("l_tokens"), F.col("r_tokens")))
+        # token set ops on the PRE-DEDUPED doc-side arrays (same reference
+        # semantics as jaccard_col/overlap_*_col, which the unit tests pin;
+        # computing array_distinct per pair would repeat it 4x per row)
         .withColumn(
-            "token_overlap_ratio", overlap_ratio_col(F.col("l_tokens"), F.col("r_tokens"))
+            "jaccard",
+            F.when(
+                F.size(F.array_union("l_tokset", "r_tokset")) == 0, F.lit(0.0)
+            ).otherwise(
+                F.size(F.array_intersect("l_tokset", "r_tokset"))
+                / F.size(F.array_union("l_tokset", "r_tokset"))
+            ),
         )
-        .withColumn("char_ngram_3", char_ngram_jaccard_cols("l_npfx", "r_npfx", 3))
-        .withColumn("char_ngram_4", char_ngram_jaccard_cols("l_npfx", "r_npfx", 4))
-        .withColumn("char_ngram_5", char_ngram_jaccard_cols("l_npfx", "r_npfx", 5))
+        .withColumn("token_overlap", F.size(F.array_intersect("l_tokset", "r_tokset")))
+        .withColumn(
+            "token_overlap_ratio",
+            F.when((F.col("l_ntok") == 0) | (F.col("r_ntok") == 0), F.lit(0.0)).otherwise(
+                F.size(F.array_intersect("l_tokset", "r_tokset"))
+                / F.greatest("l_ntok", "r_ntok")
+            ),
+        )
+        .withColumn("char_ngram_3", ngram_jac(3))
+        .withColumn("char_ngram_4", ngram_jac(4))
+        .withColumn("char_ngram_5", ngram_jac(5))
         .withColumn("role_tool_overlap", either_empty_jaccard_col(F.col("l_sig"), F.col("r_sig")))
         .withColumn("signature_match", any_shared_col(F.col("l_tools"), F.col("r_tools")))
         .withColumn("year_match", year_match_col(F.col("l_year"), F.col("r_year")))
@@ -262,5 +322,9 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         .withColumn("source_year", F.col("l_year"))
         .withColumn("cand_year", F.col("r_year"))
         .withColumn("jaro_winkler", jaro_winkler_udf(F.col("l_pfx"), F.col("r_pfx")))
-        .drop("l_pfx", "r_pfx", "l_npfx", "r_npfx")
+        .drop(
+            "l_pfx", "r_pfx", "l_tokset", "r_tokset", "l_ntok", "r_ntok",
+            *[f"{s}_sh{n}" for s in "lr" for n in (3, 4, 5)],
+            *[f"{s}_nsh{n}" for s in "lr" for n in (3, 4, 5)],
+        )
     )

@@ -41,22 +41,60 @@ def doc_tfidf_vectors(docs: DataFrame, token_col: str = "tokens") -> DataFrame:
     )
 
 
+def doc_tfidf_maps(docs: DataFrame, token_col: str = "tokens") -> DataFrame:
+    """(conv_id, terms array, weights array, vec map<term,w_norm>) — one row
+    per document, term-sorted for float determinism (SURVEY §7.4.3)."""
+    vec = doc_tfidf_vectors(docs, token_col)
+    return (
+        vec.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("term"), F.col("w_norm")))
+            ).alias("tw")
+        )
+        .select(
+            "conv_id",
+            F.expr("transform(tw, x -> x.term)").alias("terms"),
+            F.expr("transform(tw, x -> x.w_norm)").alias("weights"),
+            F.map_from_arrays(
+                F.expr("transform(tw, x -> x.term)"),
+                F.expr("transform(tw, x -> x.w_norm)"),
+            ).alias("vec"),
+        )
+    )
+
+
 def pair_tfidf_cosine(pairs: DataFrame, docs: DataFrame) -> DataFrame:
-    """pairs + tfidf_cosine column (0.0 when no shared terms)."""
-    vec = doc_tfidf_vectors(docs)
-    lv = vec.select(
-        F.col("conv_id").alias("left_id"), "term", F.col("w_norm").alias("lw")
+    """pairs + tfidf_cosine column (0.0 when no shared terms).
+
+    Shape matters at scale: the naive plan (pairs ⋈ left-terms ⋈ right-terms
+    on term, then re-aggregate per pair) multiplies the pair count by terms-
+    per-doc (~60x) through two wide shuffles.  Instead both sides' sparse
+    vectors join ON conv_id (row count never exceeds |pairs|) and the dot
+    product is a JVM map-lookup fold over the smaller side's terms:
+
+        sum over (t, w) in left:  w * right_map[t]
+
+    — zero extra shuffle, O(terms) per pair, whole-stage codegen.
+    """
+    tw = doc_tfidf_maps(docs)
+    l = tw.select(
+        F.col("conv_id").alias("left_id"),
+        F.col("terms").alias("l_terms"),
+        F.col("weights").alias("l_weights"),
     )
-    rv = vec.select(
-        F.col("conv_id").alias("right_id"), "term", F.col("w_norm").alias("rw")
+    r = tw.select(F.col("conv_id").alias("right_id"), F.col("vec").alias("r_vec"))
+    dot = F.expr(
+        "aggregate(zip_with(l_terms, l_weights,"
+        " (t, w) -> w * coalesce(element_at(r_vec, t), 0D)),"
+        " 0D, (acc, x) -> acc + x)"
     )
-    dots = (
-        pairs.select("left_id", "right_id")
-        .join(lv, "left_id")
-        .join(rv, ["right_id", "term"])
-        .groupBy("left_id", "right_id")
-        .agg(F.sum(F.col("lw") * F.col("rw")).alias("tfidf_cosine"))
-    )
-    return pairs.join(dots, ["left_id", "right_id"], "left").fillna(
-        {"tfidf_cosine": 0.0}
+    return (
+        pairs.join(l, "left_id", "left")
+        .join(r, "right_id", "left")
+        .withColumn(
+            "tfidf_cosine",
+            F.coalesce(dot, F.lit(0.0)),
+        )
+        .drop("l_terms", "l_weights", "r_vec")
     )

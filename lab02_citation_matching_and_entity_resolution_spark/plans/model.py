@@ -43,6 +43,49 @@ def attach_labels(feature_pairs: DataFrame, labeled_pairs: DataFrame) -> DataFra
     )
 
 
+def predictions_table(
+    scored: DataFrame,
+    labeled_pairs: DataFrame,
+    k: int = 5,
+    score_col: str = "model_score",
+) -> DataFrame:
+    """Per-left-entity top-k predictions merged with groundtruth — the
+    analogue of the reference's per-paper pred.json
+    (ref: src/modeling_utils.py:391-481, format README.md:429-445), as a
+    MERGE-able table keyed by left_id instead of a file per group.
+
+    Columns: left_id, predictions array<struct<right_id, score, rank>>,
+    groundtruth array<string> (label-1 right ids).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.desc(score_col), F.asc("right_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .groupBy("left_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank"), F.col("right_id"), F.col(score_col).alias("score")
+                    )
+                )
+            ).alias("predictions")
+        )
+    )
+    truth = (
+        labeled_pairs.where(F.col("label") == 1)
+        .groupBy("left_id")
+        .agg(F.sort_array(F.collect_set("right_id")).alias("groundtruth"))
+    )
+    return topk.join(truth, "left_id", "full").select(
+        "left_id",
+        F.coalesce("predictions", F.array()).alias("predictions"),
+        F.coalesce("groundtruth", F.array().cast("array<string>")).alias("groundtruth"),
+    )
+
+
 @dataclass
 class ModelResult:
     model: object

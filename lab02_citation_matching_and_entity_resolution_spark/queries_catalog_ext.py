@@ -290,3 +290,137 @@ FROM hashed
    "winnowing-style min-k shingle-hash document fingerprint")
 def text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(T(spark, sf_dir, "documents"), k=8)
+
+
+# =========================================================================
+# Catalog batch 3: remaining SURVEY §2 rows
+# =========================================================================
+
+q_a7_tfidf_cosine_sql = """
+WITH terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> '' GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         LN((1.0 + (SELECT COUNT(*) FROM documents)) / (1.0 + COUNT(DISTINCT doc_id))) + 1.0 AS idf
+  FROM terms GROUP BY term
+),
+w AS (
+  SELECT t.doc_id, t.term, t.tf * i.idf AS w FROM terms t JOIN idf i ON t.term = i.term
+),
+norms AS (
+  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+vec AS (
+  SELECT w.doc_id, w.term, w.w / n.nrm AS wn FROM w JOIN norms n ON w.doc_id = n.doc_id
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       ROUND(SUM(a.wn * b.wn), 6) AS tfidf_cosine
+FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id + 1 = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@q("a7_tfidf_pair_cosine", q_a7_tfidf_cosine_sql,
+   "A7: sparse TF-IDF cosine as explode-join-sum (ref match_utils.py:422-424)")
+def a7_tfidf_pair_cosine(spark, sf_dir):
+    from .operators.tfidf import doc_tfidf_vectors
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"),
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+    )
+    vec = doc_tfidf_vectors(docs)
+    a = vec.select(F.col("conv_id").alias("left_id"), "term", F.col("w_norm").alias("lw"))
+    b = vec.select(F.col("conv_id").alias("right_id"), "term", F.col("w_norm").alias("rw"))
+    return (
+        a.join(b, (a.term == b.term) & (a.left_id + 1 == b.right_id))
+        .groupBy("left_id", "right_id")
+        .agg(F.round(F.sum(F.col("lw") * F.col("rw")), 6).alias("tfidf_cosine"))
+    )
+
+
+q_f25_build_text_sql = """
+SELECT doc_id,
+       TRIM(CONCAT_WS(' ', lang, source, text,
+                      CAST(n_chars AS VARCHAR))) AS built_text
+FROM documents
+"""
+
+
+@q("f25_build_text", q_f25_build_text_sql,
+   "F25: multi-signal document text builder via concat_ws (ref :334-375)")
+def f25_build_text(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(
+            F.concat_ws(
+                " ", "lang", "source", "text", F.col("n_chars").cast("string")
+            )
+        ).alias("built_text"),
+    )
+
+
+q_d4_field_extract_sql = """
+SELECT event_id,
+       regexp_extract(props, '[0-9]{4}', 0) AS year_like,
+       LOWER(regexp_extract(event_type, '^[a-zA-Z]+', 0)) AS kind,
+       CASE WHEN props LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+FROM events
+"""
+
+
+@q("d4_field_extraction", q_d4_field_extract_sql,
+   "D4: regex field-extraction battery from free text (ref parse_util.py:738-780)")
+def d4_field_extraction(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"[0-9]{4}", 0).alias("year_like"),
+        F.lower(F.regexp_extract("event_type", r"^[a-zA-Z]+", 0)).alias("kind"),
+        F.when(F.col("props").contains("a"), 1).otherwise(0).alias("has_a"),
+    )
+
+
+@q("j6_greedy_one_to_one", None,
+   "J6: greedy 1:1 assignment per block (sequential-in-block semantics, "
+   "applyInPandas; not SQL-expressible -> rows-only)")
+def j6_greedy_one_to_one(spark, sf_dir):
+    from .operators.resolve import greedy_one_to_one
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("block_key"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("left_id"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("right_id"),
+        (F.col("l_discount") * 10).alias("score"),
+    )
+    return greedy_one_to_one(li, threshold=0.2)
+
+
+@q("f1_f5_normalize_text", None,
+   "F1-F5: canonical normalizer chain (unicode NFKD pandas UDF; no SQL "
+   "equivalent -> rows-only; bit-parity pinned by golden tests)")
+def f1_f5_normalize_text(spark, sf_dir):
+    from .functions.normalize import normalize_text_udf
+
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text_udf()(F.col("text")).alias("text_norm")
+    )
+
+
+q_so5_ordered_dedup_sql = """
+SELECT doc_id,
+       list_sort(list_distinct(string_split(text, ' '))) AS tokens_sorted
+FROM documents
+"""
+
+
+@q("so5_ordered_dedup", q_so5_ordered_dedup_sql,
+   "SO5: array dedup; compared sorted for engine-neutral order (ref parse_util.py:683)")
+def so5_ordered_dedup(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("tokens_sorted"),
+    )

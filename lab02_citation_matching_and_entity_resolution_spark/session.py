@@ -44,12 +44,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory coalesces mid-size stages to ~one task wave per
+        # core; 16m keeps ~4 waves so stragglers overlap instead of stalling
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS_PER_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: the driver heap IS the executor heap; size it
+        # for 32 concurrent tasks (spills + GC thrash at 8g killed scaling)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill on tmpfs when available: the sandbox's virtual disk is
+    # slow enough to serialize shuffle-heavy stages (measured: local[32] no
+    # faster than local[8] with /tmp-backed shuffles); a real cluster has
+    # NVMe + network for this
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config(
+            "spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", f"{shm}/spark-local")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

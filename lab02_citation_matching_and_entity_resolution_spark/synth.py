@@ -159,26 +159,67 @@ def _perturb_text(rng: random.Random, text: str, near: bool) -> str:
     return s
 
 
+def entity_rows(cfg: SynthConfig, b: int) -> tuple[list[tuple], list[tuple[str, str]]]:
+    """All transcript rows + memberships for ONE base entity.
+
+    Seeded per entity — rng = Random(seed XOR shifted entity index) — so
+    generation is embarrassingly parallel AND bit-identical whether it runs on
+    the driver or sharded across executors (SURVEY §7.4.4: order-free
+    determinism; a single global Random would make output depend on iteration
+    order)."""
+    rng = random.Random((cfg.seed << 20) ^ b)
+    entity_id = f"e{b:05d}"
+    topic = _TOPICS[b % len(_TOPICS)]
+    n_turns = rng.randint(cfg.min_turns, cfg.max_turns)
+    base = _base_turns(rng, topic, n_turns)
+    n_copies = rng.randint(1, cfg.max_cluster)
+    rows: list[tuple] = []
+    membership: list[tuple[str, str]] = []
+    for k in range(n_copies):
+        conv_id = f"c{b:05d}x{k}"
+        membership.append((conv_id, entity_id))
+        near = k > 0 and rng.random() < cfg.near_dup_frac
+        for t, (role, text, tool) in enumerate(base):
+            txt = text if k == 0 else _perturb_text(rng, text, near)
+            ts = _EPOCH + dt.timedelta(days=b % 3650, minutes=5 * t + k)
+            rows.append((conv_id, t, role, txt, tool, ts))
+    return rows, membership
+
+
 def generate_rows(cfg: SynthConfig) -> tuple[list[tuple], list[tuple[str, str]]]:
     """Return (transcript_rows, [(conv_id, entity_id)]) deterministically."""
-    rng = random.Random(cfg.seed)
     rows: list[tuple] = []
     membership: list[tuple[str, str]] = []
     for b in range(cfg.n_base):
-        entity_id = f"e{b:05d}"
-        topic = _TOPICS[b % len(_TOPICS)]
-        n_turns = rng.randint(cfg.min_turns, cfg.max_turns)
-        base = _base_turns(rng, topic, n_turns)
-        n_copies = rng.randint(1, cfg.max_cluster)
-        for k in range(n_copies):
-            conv_id = f"c{b:05d}x{k}"
-            membership.append((conv_id, entity_id))
-            near = k > 0 and rng.random() < cfg.near_dup_frac
-            for t, (role, text, tool) in enumerate(base):
-                txt = text if k == 0 else _perturb_text(rng, text, near)
-                ts = _EPOCH + dt.timedelta(days=b, minutes=5 * t + k)
-                rows.append((conv_id, t, role, txt, tool, ts))
+        r, m = entity_rows(cfg, b)
+        rows.extend(r)
+        membership.extend(m)
     return rows, membership
+
+
+def transcripts_df_distributed(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
+    """Executor-side generation: spark.range over entity ids -> mapInPandas.
+
+    Bit-identical to :func:`transcripts_df` (per-entity seeding) but scales to
+    corpora far beyond driver memory — this is what bench/scaling runs use.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out_rows = []
+            for b in pdf["id"]:
+                rows, _ = entity_rows(cfg, int(b))
+                out_rows.extend(rows)
+            yield pd.DataFrame(
+                out_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    n_shards = max(32, cfg.n_base // 64)
+    return (
+        spark.range(0, cfg.n_base, numPartitions=min(n_shards, cfg.n_base))
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
 
 
 def transcripts_df(spark: SparkSession, cfg: SynthConfig | None = None) -> DataFrame:

@@ -66,3 +66,30 @@ def test_logistic_separates_and_ranks(spark, feature_pairs):
         F.min("model_score").alias("lo"), F.max("model_score").alias("hi")
     ).collect()[0]
     assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_predictions_table(spark, feature_pairs):
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        predictions_table,
+        train_and_evaluate,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    result = train_and_evaluate(feature_pairs, labeled, threshold=0.5)
+    preds = predictions_table(result.scored, labeled, k=5)
+    rows = preds.collect()
+    assert rows, "predictions table empty"
+    for r in rows[:50]:
+        assert len(r["predictions"]) <= 5
+        ranks = [p["rank"] for p in r["predictions"]]
+        assert ranks == sorted(ranks)
+    # for a separable corpus, the top-1 prediction of entities with truth
+    # should usually BE a groundtruth id
+    hits = sum(
+        1
+        for r in rows
+        if r["groundtruth"] and r["predictions"]
+        and r["predictions"][0]["right_id"] in r["groundtruth"]
+    )
+    with_truth = sum(1 for r in rows if r["groundtruth"] and r["predictions"])
+    assert with_truth == 0 or hits / with_truth >= 0.9

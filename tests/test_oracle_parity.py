@@ -25,8 +25,12 @@ def duck(sf_dir):
 
 
 def _canon(v):
+    import numpy as np
+
     if v is None:
         return None
+    if isinstance(v, np.ndarray):
+        return tuple(_canon(x) for x in v.tolist())
     if isinstance(v, float):
         if math.isnan(v):
             return None  # pandas renders SQL NULL ints as NaN floats

@@ -100,3 +100,19 @@ def test_cap_metrics_no_silent_truncation(spark, corpus):
     pairs, metrics = candidate_pairs(docs, tiny_cap)
     reported = metrics.agg(F.sum("rows_dropped")).collect()[0][0]
     assert reported is not None and reported > 0
+
+
+def test_distributed_synth_identical_to_driver(spark):
+    """Executor-side generation must be bit-identical to driver generation."""
+    from lab02_citation_matching_and_entity_resolution_spark.synth import (
+        SynthConfig,
+        transcripts_df,
+        transcripts_df_distributed,
+    )
+
+    cfg = SynthConfig(n_base=15)
+    a = transcripts_df(spark, cfg)
+    b = transcripts_df_distributed(spark, cfg)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
