@@ -75,11 +75,13 @@ def main() -> None:
     # be 2x off; min-of-3 interleaved is robust to that noise
     results = {}
     times: dict[int, list[float]] = {c: [] for c in CORE_LEVELS}
+    ctrl_runs: dict[int, list[dict]] = {c: [] for c in CORE_LEVELS}
     last = {}
     for rep in range(REPEATS):
         for cores in CORE_LEVELS:
             r = run_at(cores)
             times[cores].append(r["score_sec"])
+            ctrl_runs[cores].append(r)
             last[cores] = r
             print(f"rep{rep} local[{cores}]: {r['n_pairs']} pairs in "
                   f"{r['score_sec']:.1f}s = {r['pairs_per_sec']:.0f} pairs/sec",
@@ -88,6 +90,7 @@ def main() -> None:
         best = min(times[cores])
         r = dict(last[cores], score_sec=best,
                  pairs_per_sec=last[cores]["n_pairs"] / best, all_times=times[cores])
+        r["control_sec"] = min(x.get("control_sec", 1e9) for x in ctrl_runs[cores])
         results[f"local[{cores}]"] = r
         print(f"local[{cores}] best-of-{REPEATS}: {r['n_pairs']} pairs in "
               f"{best:.1f}s = {r['pairs_per_sec']:.0f} pairs/sec")
@@ -98,6 +101,16 @@ def main() -> None:
     eff = (t_lo / t_hi) / ratio
     results[f"scaling_efficiency_{lo}_to_{hi}"] = eff
     print(f"scaling efficiency (T{lo}/T{hi})/{ratio:.0f} = {eff:.3f}")
+    c_lo = min(r["control_sec"] for r in [results[f"local[{lo}]"]] ) if "control_sec" in results[f"local[{lo}]"] else None
+    if c_lo:
+        ctrl_speedup = results[f"local[{lo}]"]["control_sec"] / results[f"local[{hi}]"]["control_sec"]
+        pipe_speedup = t_lo / t_hi
+        results["control_speedup"] = ctrl_speedup
+        results["pipeline_speedup"] = pipe_speedup
+        results["normalized_efficiency"] = pipe_speedup / ctrl_speedup
+        print(f"control (pure-compute) speedup {lo}->{hi}: {ctrl_speedup:.2f}x; "
+              f"pipeline speedup: {pipe_speedup:.2f}x; "
+              f"normalized efficiency = {pipe_speedup / ctrl_speedup:.3f}")
     with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
         json.dump(results, f, indent=2)
 

@@ -101,7 +101,9 @@ def main() -> None:
 
     docs_tbl = T(spark, SF_DIR, "documents")
     t0 = time.time()
-    sigs = dedup.minhash_signatures(docs_tbl)
+    # xxhash64 = the production hot path; the md5 variant exists only for
+    # engine-portable oracle parity in the catalog queries
+    sigs = dedup.minhash_signatures(docs_tbl, hash_fn="xxhash64")
     _force(dedup.minhash_band_pairs(sigs))
     timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
 
