@@ -65,18 +65,32 @@ def brute_force_topk(
 def seed_centroids(
     items: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic centroid pick: the n_cells vectors with smallest
-    md5(id) — seeding-only 'k-means' (one refinement step optional)."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
-    return (
-        items.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_cells)
-        .select(
-            (F.col("_rk") - 1).alias("cell_id"),
+    """Deterministic centroid pick: the n_cells vectors with smallest md5(id).
+
+    ``orderBy(md5).limit(n_cells)`` compiles to TakeOrderedAndProject —
+    per-partition top-N plus a driver merge of exactly n_cells rows — so the
+    corpus never funnels through one task (the round-1
+    ``Window.orderBy`` variant did exactly that).  The tiny picked set is
+    collected (bounded by n_cells) and re-emitted as a local relation, which
+    downstream broadcasts; no SinglePartition exchange anywhere in the
+    distributed plan.
+    """
+    picked = (
+        items.select(
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+            F.col(id_col).alias("_sid"),
             F.col(vec_col).alias("centroid"),
-            _norm_col(vec_col).alias("cnorm"),
         )
+        .orderBy("_m", "_sid")
+        .limit(n_cells)
     )
+    rows = sorted(picked.collect(), key=lambda r: (r["_m"], r["_sid"]))
+    spark = items.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(rows)],
+        "cell_id int, centroid array<double>",
+    )
+    return cents.select("cell_id", "centroid", _norm_col("centroid").alias("cnorm"))
 
 
 def assign_cells(
@@ -89,11 +103,13 @@ def assign_cells(
 ) -> DataFrame:
     """Attach the n_probe nearest cell ids to every vector (broadcast join)."""
     it = items.select(F.col(id_col).alias(out_id), F.col(vec_col), _norm_col(vec_col).alias("vnorm"))
+    # sims rounded to 6dp BEFORE ranking: assignment becomes bit-stable across
+    # engines/partitionings (cell_id tiebreak), enabling the DuckDB oracle
     joined = it.crossJoin(F.broadcast(centroids)).select(
         out_id,
         vec_col,
         "cell_id",
-        (_dot(vec_col, "centroid") / (F.col("vnorm") * F.col("cnorm"))).alias("sim"),
+        F.round(_dot(vec_col, "centroid") / (F.col("vnorm") * F.col("cnorm")), 6).alias("sim"),
     )
     w = Window.partitionBy(out_id).orderBy(F.desc("sim"), F.asc("cell_id"))
     return (
@@ -114,7 +130,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF-blocked approximate top-k: join items and queries on cell_id only."""
-    cents = seed_centroids(items, n_cells, id_col, vec_col).persist()
+    cents = seed_centroids(items, n_cells, id_col, vec_col)  # local relation, broadcast below
     it = assign_cells(items, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
         vec_col, "iv"
     )

@@ -145,17 +145,32 @@ def minhash_band_pairs(
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
     For each bit b: sum over tokens of (+1 if bit set else -1); bit = sign.
     Expressed as explode -> per-bit conditional sums -> bit reassembly; all
     native aggregations (64 conditional sums, one shuffle).
+
+    hash_fn="xxhash64" is the production path (full 64 informative bits,
+    cheapest); hash_fn="md5" derives a 60-bit token hash from md5 hex so
+    DuckDB reproduces the exact same simhash values (oracle parity; bits
+    60-63 stay zero in both engines).
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    h = toks.withColumn("th", F.xxhash64("tok"))
+    if hash_fn == "md5":
+        h = toks.withColumn("th", _md5_i64(F.col("tok"), 0))
+    elif hash_fn == "xxhash64":
+        h = toks.withColumn("th", F.xxhash64("tok"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_aggs = [
         F.sum(
             F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
@@ -177,22 +192,63 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_near_pairs(
-    sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", prefix_bits: int = 16
-) -> DataFrame:
+    sim: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    block_cap: int | None = 1000,
+    cap_seed: int = 23120334,
+    return_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on the
-    top ``prefix_bits`` bits (single-probe LSH; catches most close pairs)."""
+    top ``prefix_bits`` bits (single-probe LSH; catches most close pairs).
+
+    ``block_cap`` bounds any prefix-bit bucket before the self-join — a
+    boilerplate-heavy corpus can drop thousands of docs into one 16-bit
+    bucket, going quadratic without it.  Ranking is md5(id)-ordered (stable
+    under any partitioning AND engine-portable, so a DuckDB oracle with the
+    same cap reproduces the exact pair set).  Cap events are counted into a
+    metrics frame — no silent truncation; pass return_metrics=True to get it.
+    """
+    from pyspark.sql.window import Window
+
     keyed = sim.select(
         F.col(id_col),
         F.col("simhash"),
         F.expr(f"simhash >> {64 - prefix_bits}").alias("block"),
     )
+    metrics = None
+    if block_cap is not None:
+        w = Window.partitionBy("block").orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{cap_seed}"))),
+            F.col(id_col),
+        )
+        ranked = keyed.withColumn("_rk", F.row_number().over(w))
+        metrics = (
+            ranked.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("block_size"))
+            .where(F.col("block_size") > block_cap)
+            .select(
+                F.col("block").cast("string").alias("block_key"),
+                "block_size",
+                F.lit(block_cap).alias("cap"),
+                (F.col("block_size") - block_cap).alias("rows_dropped"),
+            )
+        )
+        keyed = ranked.where(F.col("_rk") <= block_cap).drop("_rk")
     a = keyed.select(F.col(id_col).alias("left_id"), F.col("simhash").alias("sa"), "block")
     b = keyed.select(F.col(id_col).alias("right_id"), F.col("simhash").alias("sb"), "block")
     pairs = a.join(b, "block").where(F.col("left_id") < F.col("right_id"))
     hamming = F.bit_count(F.expr("sa ^ sb"))
-    return pairs.select(
+    out = pairs.select(
         "left_id", "right_id", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+    if return_metrics:
+        empty_schema = "block_key string, block_size long, cap int, rows_dropped long"
+        if metrics is None:
+            metrics = sim.sparkSession.createDataFrame([], empty_schema)
+        return out, metrics
+    return out
 
 
 def embedding_near_dup(
@@ -201,13 +257,23 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_expr: F.Column | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicates over an embedding column.
 
-    Brute-force within optional blocks using native array math
-    (zip_with + aggregate — no Python).  The scale path blocks first
-    (see ann.ivf_topk); this is the verification/baseline operator.
+    Brute-force within blocks using native array math (zip_with +
+    aggregate — no Python).  ``block_expr`` is REQUIRED at scale: without it
+    the self-join is a whole-corpus cross product.  Callers that genuinely
+    want the all-pairs baseline (small verification sets) must say so with
+    ``allow_full_scan=True``; otherwise we refuse rather than silently
+    launching an O(n^2) job.  The scale path blocks first (see ann.ivf_topk).
     """
+    if block_expr is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_near_dup without block_expr is a full O(n^2) cross "
+            "product; pass block_expr (e.g. an IVF cell id or metadata key) "
+            "or explicitly opt in with allow_full_scan=True"
+        )
     normed = emb.select(
         F.col(id_col),
         F.col(vec_col),

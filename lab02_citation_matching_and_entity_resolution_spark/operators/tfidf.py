@@ -22,29 +22,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def doc_tfidf_vectors(docs: DataFrame, token_col: str = "tokens") -> DataFrame:
-    """(conv_id, term, w_norm) sparse L2-normalized TF-IDF vectors."""
-    terms = docs.select("conv_id", F.explode(token_col).alias("term"))
-    tf = terms.groupBy("conv_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.countDistinct("conv_id").alias("n")).collect()[0]["n"]
-    df = tf.groupBy("term").agg(F.countDistinct("conv_id").alias("df"))
-    idf = df.select(
+def block_scope_idf(
+    docs: DataFrame,
+    block_cols: tuple[str, ...],
+    id_col: str = "conv_id",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """(block_cols..., term, df, idf) — IDF fit WITHIN each block.
+
+    The reference's default config is TFIDF_SCOPE="paper": the vectorizer is
+    fit per block (ref: src/match_utils.py:411-424, vectorizer=None branch);
+    the global corpus fit is the alternate path (:561-581).  Per-block n and
+    df are one extra groupBy each — no collect, no applyInPandas; the idf
+    join keys on (block, term) so everything stays shuffle-parallel.
+    """
+    bc = list(block_cols)
+    n_per_block = docs.groupBy(*bc).agg(F.countDistinct(id_col).alias("_n"))
+    terms = docs.select(*bc, F.col(id_col), F.explode(token_col).alias("term"))
+    dfreq = terms.groupBy(*bc, "term").agg(F.countDistinct(id_col).alias("df"))
+    return dfreq.join(n_per_block, bc).select(
+        *bc,
         "term",
-        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        "df",
+        (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
     )
-    w = tf.join(idf, "term").select(
-        "conv_id", "term", (F.col("tf") * F.col("idf")).alias("w")
-    )
+
+
+def doc_tfidf_vectors(
+    docs: DataFrame,
+    token_col: str = "tokens",
+    scope_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(conv_id, term, w_norm) sparse L2-normalized TF-IDF vectors.
+
+    scope_cols=None fits one global IDF (reference TFIDF_SCOPE="global",
+    ref: src/match_utils.py:561-581); scope_cols=(...) fits the IDF within
+    each block, the reference's default TFIDF_SCOPE="paper" (:411-424) —
+    same vectors as fitting a separate vectorizer per block.
+    """
+    if scope_cols:
+        bc = list(scope_cols)
+        terms = docs.select(*bc, "conv_id", F.explode(token_col).alias("term"))
+        tf = terms.groupBy(*bc, "conv_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        idf = block_scope_idf(docs, tuple(bc), token_col=token_col)
+        w = tf.join(idf.select(*bc, "term", "idf"), bc + ["term"]).select(
+            "conv_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+        )
+    else:
+        terms = docs.select("conv_id", F.explode(token_col).alias("term"))
+        tf = terms.groupBy("conv_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        n_docs = docs.select(F.countDistinct("conv_id").alias("n")).collect()[0]["n"]
+        df = tf.groupBy("term").agg(F.countDistinct("conv_id").alias("df"))
+        idf = df.select(
+            "term",
+            (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+        w = tf.join(idf, "term").select(
+            "conv_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+        )
     norms = w.groupBy("conv_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     return w.join(norms, "conv_id").select(
         "conv_id", "term", (F.col("w") / F.col("norm")).alias("w_norm")
     )
 
 
-def doc_tfidf_maps(docs: DataFrame, token_col: str = "tokens") -> DataFrame:
+def doc_tfidf_maps(
+    docs: DataFrame,
+    token_col: str = "tokens",
+    scope_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """(conv_id, terms array, weights array, vec map<term,w_norm>) — one row
     per document, term-sorted for float determinism (SURVEY §7.4.3)."""
-    vec = doc_tfidf_vectors(docs, token_col)
+    vec = doc_tfidf_vectors(docs, token_col, scope_cols=scope_cols)
     return (
         vec.groupBy("conv_id")
         .agg(
@@ -64,8 +113,15 @@ def doc_tfidf_maps(docs: DataFrame, token_col: str = "tokens") -> DataFrame:
     )
 
 
-def pair_tfidf_cosine(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def pair_tfidf_cosine(
+    pairs: DataFrame,
+    docs: DataFrame,
+    scope_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """pairs + tfidf_cosine column (0.0 when no shared terms).
+
+    scope_cols selects the IDF fit scope (per-block = reference default
+    TFIDF_SCOPE="paper"; None = global corpus fit) — see doc_tfidf_vectors.
 
     Shape matters at scale: the naive plan (pairs ⋈ left-terms ⋈ right-terms
     on term, then re-aggregate per pair) multiplies the pair count by terms-
@@ -77,7 +133,7 @@ def pair_tfidf_cosine(pairs: DataFrame, docs: DataFrame) -> DataFrame:
 
     — zero extra shuffle, O(terms) per pair, whole-stage codegen.
     """
-    tw = doc_tfidf_maps(docs)
+    tw = doc_tfidf_maps(docs, scope_cols=scope_cols)
     l = tw.select(
         F.col("conv_id").alias("left_id"),
         F.col("terms").alias("l_terms"),

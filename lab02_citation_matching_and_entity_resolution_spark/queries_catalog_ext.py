@@ -91,19 +91,6 @@ sigs AS (
 """
 
 
-q_minhash_sig_sql = _duck_minhash_cte(8, 4) + """
-SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs
-"""
-
-
-@q("dedup_minhash_signatures", q_minhash_sig_sql,
-   "MinHash signatures via md5-salted min-agg (engine-identical bits)")
-def dedup_minhash_signatures(spark, sf_dir):
-    return dedup.minhash_signatures(
-        T(spark, sf_dir, "documents"), n_hashes=8, shingle_n=4
-    )
-
-
 q_minhash_pairs_sql = _duck_minhash_cte(8, 4) + """
 , banded AS (
   SELECT doc_id, md5(concat_ws('|', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS band_key FROM sigs
@@ -121,7 +108,9 @@ WHERE a.doc_id < b.doc_id
 
 
 @q("dedup_minhash_band_pairs", q_minhash_pairs_sql,
-   "banded MinHash-LSH candidate pairs (shingle->minhash->band->bucket join)")
+   "banded MinHash-LSH candidate pairs (shingle->minhash->band->bucket join); "
+   "the signature stage is computed in-path, so its bits are witnessed here "
+   "too (separate signatures entry dropped for the driver's 50-entry cap)")
 def dedup_minhash_band_pairs(spark, sf_dir):
     sigs = dedup.minhash_signatures(
         T(spark, sf_dir, "documents"), n_hashes=8, shingle_n=4
@@ -129,10 +118,53 @@ def dedup_minhash_band_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(sigs, n_hashes=8, bands=4)
 
 
-@q("dedup_simhash_pairs", None,
-   "SimHash64 near-pairs (xxhash64 token bits; no engine-portable oracle -> rows-only)")
+def _duck_simhash_sql(max_hamming: int = 8, prefix_bits: int = 16) -> str:
+    """DuckDB mirror of simhash64(hash_fn='md5') + prefix-blocked near pairs.
+
+    The md5-derived 60-bit token hash gives identical bits in both engines
+    (bits 60-63 are structurally zero, so summing 60 disjoint power-of-two
+    terms equals the Spark bitwise-OR reassembly).
+    """
+    th = "CAST(concat('0x', substr(md5(concat(tok, '#0')), 1, 15)) AS BIGINT)"
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sim_terms = "\n       + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, {th} AS th FROM toks WHERE tok <> ''
+),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         {sim_terms} AS simhash
+  FROM sums
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM keyed a JOIN keyed b
+  ON (a.simhash >> {64 - prefix_bits}) = (b.simhash >> {64 - prefix_bits})
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@q("dedup_simhash_pairs", _duck_simhash_sql(max_hamming=8),
+   "SimHash64 near-pairs; md5-derived token bits reproduce the exact simhash "
+   "values in DuckDB (block cap cannot bind at oracle scale: 1000 >> n_docs)")
 def dedup_simhash_pairs(spark, sf_dir):
-    sim = dedup.simhash64(T(spark, sf_dir, "documents"))
+    sim = dedup.simhash64(T(spark, sf_dir, "documents"), hash_fn="md5")
     return dedup.simhash_near_pairs(sim, max_hamming=8)
 
 
@@ -194,8 +226,56 @@ def ann_brute_force_topk(spark, sf_dir):
     return ann.brute_force_topk(emb, queries, k=10)
 
 
-@q("ann_ivf_topk", None,
-   "IVF-blocked approximate top-k (centroid assignment; rows-only check)")
+q_ann_ivf_sql = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY m, vec_id) - 1 AS INT) AS cell_id,
+         v AS centroid
+  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS m
+        FROM emb ORDER BY m, vec_id LIMIT 8)
+),
+assign_items AS (
+  SELECT vec_id, v, cell_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(list_cosine_similarity(v, centroid), 6) DESC,
+                                     cell_id) AS p
+  FROM emb CROSS JOIN cents
+),
+it AS (SELECT vec_id, v, cell_id FROM assign_items WHERE p = 1),
+qsrc AS (SELECT vec_id AS query_id, v FROM emb WHERE vec_id < 8),
+assign_q AS (
+  SELECT query_id, v, cell_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(list_cosine_similarity(v, centroid), 6) DESC,
+                                     cell_id) AS p
+  FROM qsrc CROSS JOIN cents
+),
+qs AS (SELECT query_id, v, cell_id FROM assign_q WHERE p <= 3),
+scored AS (
+  SELECT q.query_id, i.vec_id,
+         ROUND(list_cosine_similarity(i.v, q.v), 6) AS cosine
+  FROM it i JOIN qs q ON i.cell_id = q.cell_id
+),
+dedup AS (
+  SELECT query_id, vec_id, MAX(cosine) AS cosine
+  FROM scored GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM dedup
+)
+SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+"""
+
+
+@q("ann_ivf_topk", q_ann_ivf_sql,
+   "IVF-blocked approximate top-k — deterministic md5-ordered centroid "
+   "seeding (TakeOrdered, no global window) makes the whole path "
+   "DuckDB-reproducible; round 1 was rows-only")
 def ann_ivf_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -210,35 +290,51 @@ def ann_ivf_topk(spark, sf_dir):
 # Text analysis
 # =========================================================================
 
-q_quality_sql = """
-SELECT doc_id,
-       LENGTH(text) AS n_chars,
-       len(string_split_regex(text, '\\s+')) AS n_tokens,
-       ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-             / NULLIF(LENGTH(text), 0), 6) AS alpha_ratio
-FROM documents
+def _duck_quality_sql() -> str:
+    """DuckDB mirror of textstats.quality_score — every ratio and the
+    composite, so the full operator is oracle-witnessed (round 1 had only the
+    core ratios; the composite was rows-only)."""
+    from .operators.textstats import _LANG_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS["en"])
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+              THEN LENGTH(text) * 1.0 / len(string_split_regex(text, '\\s+'))
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / LENGTH(text)
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN LENGTH(text) > 0
+              THEN LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / LENGTH(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+              THEN len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+                                      [{stop_list}])) * 1.0
+                   / LEAST(len(string_split_regex(text, '\\s+')), 10)
+              ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(LEAST(1.0,
+             0.4 * alpha_ratio
+             + 0.3 * LEAST(1.0, stop_ratio)
+             + 0.2 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.1 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)), 6) AS quality
+FROM feat
 """
 
 
-@q("text_quality_core", q_quality_sql,
-   "quality scoring core ratios (length / alpha); full score rows-only via operator")
-def text_quality_core(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
-    text = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.length(text).alias("n_chars"),
-        F.size(F.split(text, r"\s+")).alias("n_tokens"),
-        F.round(
-            F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-            / F.nullif(F.length(text), F.lit(0)),
-            6,
-        ).alias("alpha_ratio"),
-    )
-
-
-@q("text_quality_score", None,
-   "composite quality score (operator; heuristic weights) — rows-only")
+@q("text_quality_score", _duck_quality_sql(),
+   "quality scoring: length/alpha/punct/stopword ratios + composite score "
+   "(full oracle; subsumes round 1's text_quality_core)")
 def text_quality_score(spark, sf_dir):
     return textstats.quality_score(T(spark, sf_dir, "documents"))
 
@@ -257,7 +353,43 @@ def text_token_counts(spark, sf_dir):
     return textstats.token_counts(T(spark, sf_dir, "documents"))
 
 
-@q("text_language_id", None, "stopword-hit language ID heuristic — rows-only")
+def _duck_langid_sql() -> str:
+    """DuckDB mirror of textstats.language_id: per-language stopword hits on
+    distinct lowercase tokens, first-max-wins guess in declaration order."""
+    from .operators.textstats import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)
+    hit_cols = ",\n         ".join(
+        "len(list_intersect(_toks, ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS hits_{la}"
+        for la, words in _LANG_STOPWORDS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    whens = "\n            ".join(
+        f"WHEN hits_{la} = {best} AND {best} > 0 THEN '{la}'" for la in langs
+    )
+    hits_select = ", ".join(f"hits_{la}" for la in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS _toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM t
+)
+SELECT doc_id, {hits_select},
+       CASE {whens}
+            ELSE 'und' END AS lang_guess
+FROM h
+"""
+
+
+@q("text_language_id", _duck_langid_sql(),
+   "stopword-hit language ID heuristic (full oracle: hit counts + guess)")
 def text_language_id(spark, sf_dir):
     return textstats.language_id(T(spark, sf_dir, "documents"))
 
@@ -384,6 +516,67 @@ def d4_field_extraction(spark, sf_dir):
     )
 
 
+q_so5_ordered_dedup_sql = """
+SELECT doc_id,
+       list_sort(list_distinct(string_split(text, ' '))) AS tokens_sorted
+FROM documents
+"""
+
+
+@q("so5_ordered_dedup", q_so5_ordered_dedup_sql,
+   "SO5: array dedup; compared sorted for engine-neutral order (ref parse_util.py:683)")
+def so5_ordered_dedup(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("tokens_sorted"),
+    )
+
+
+q_a6b_block_idf_sql = """
+WITH flt AS (
+  SELECT lang, source, doc_id, term FROM (
+    SELECT lang, source, doc_id, UNNEST(string_split(text, ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+n_b AS (
+  SELECT lang, source, COUNT(DISTINCT doc_id) AS _n
+  FROM documents GROUP BY lang, source
+),
+dfreq AS (
+  SELECT lang, source, term, COUNT(DISTINCT doc_id) AS df
+  FROM flt GROUP BY lang, source, term
+)
+SELECT d.lang, d.source, d.term, d.df,
+       ROUND(LN((n._n + 1.0) / (d.df + 1.0)) + 1.0, 6) AS idf
+FROM dfreq d JOIN n_b n ON d.lang = n.lang AND d.source = n.source
+"""
+
+
+@q("a6b_tfidf_block_scope", q_a6b_block_idf_sql,
+   "A6b: TF-IDF fit WITHIN each block — the reference's default "
+   "TFIDF_SCOPE='paper' (ref match_utils.py:411-424); global fit is a6")
+def a6b_tfidf_block_scope(spark, sf_dir):
+    from .operators.tfidf import block_scope_idf
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"),
+        "lang",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+    )
+    idf = block_scope_idf(docs, ("lang", "source"))
+    return idf.select(
+        "lang", "source", "term", "df", F.round("idf", 6).alias("idf")
+    )
+
+
+# -------------------------------------------------------------------------
+# Rows-only entries — registered LAST on purpose: the driver records at most
+# 50 CORRECTNESS entries in registry order, so the two genuinely
+# non-SQL-expressible queries sit where a cap can never evict an oracle row.
+# -------------------------------------------------------------------------
+
 @q("j6_greedy_one_to_one", None,
    "J6: greedy 1:1 assignment per block (sequential-in-block semantics, "
    "applyInPandas; not SQL-expressible -> rows-only)")
@@ -407,20 +600,4 @@ def f1_f5_normalize_text(spark, sf_dir):
 
     return T(spark, sf_dir, "documents").select(
         "doc_id", normalize_text_udf()(F.col("text")).alias("text_norm")
-    )
-
-
-q_so5_ordered_dedup_sql = """
-SELECT doc_id,
-       list_sort(list_distinct(string_split(text, ' '))) AS tokens_sorted
-FROM documents
-"""
-
-
-@q("so5_ordered_dedup", q_so5_ordered_dedup_sql,
-   "SO5: array dedup; compared sorted for engine-neutral order (ref parse_util.py:683)")
-def so5_ordered_dedup(spark, sf_dir):
-    return T(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.sort_array(F.array_distinct(F.split("text", " "))).alias("tokens_sorted"),
     )

@@ -118,3 +118,69 @@ def test_fingerprint_stability(spark):
     assert fp1 == fp2
     assert fp1[1] == fp1[2]  # identical content -> identical fingerprint
     assert fp1[1] != fp1[4]
+
+
+def test_embedding_near_dup_refuses_implicit_full_scan(spark):
+    """No block_expr means an O(n^2) cross product — must be an explicit opt-in."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="full_scan"):
+        dedup.embedding_near_dup(emb, threshold=0.9)
+    got = dedup.embedding_near_dup(emb, threshold=0.9, allow_full_scan=True).collect()
+    assert {(r["left_id"], r["right_id"]) for r in got} == {(1, 2)}
+
+
+def test_simhash_block_cap_bounds_hot_bucket(spark):
+    """Plant one degenerate bucket (identical boilerplate text -> one simhash
+    block) and assert the cap bounds the pair blowup AND records metrics —
+    the same no-silent-truncation discipline as blocking/_cap_block."""
+    n = 40
+    rows = [(i, "same boilerplate text shared by every doc") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = dedup.simhash64(docs)
+    cap = 10
+    pairs, metrics = dedup.simhash_near_pairs(
+        sim, max_hamming=8, block_cap=cap, return_metrics=True
+    )
+    n_pairs = pairs.count()
+    assert n_pairs == cap * (cap - 1) / 2  # identical docs: every kept pair survives
+    m = metrics.collect()
+    assert len(m) == 1
+    assert m[0]["block_size"] == n and m[0]["rows_dropped"] == n - cap
+    # uncapped: the full quadratic set (the round-1 behavior, now opt-in)
+    assert dedup.simhash_near_pairs(sim, max_hamming=8, block_cap=None).count() == n * (n - 1) / 2
+
+
+def test_simhash_md5_variant_matches_xxhash_semantics(spark):
+    """The md5 (oracle-portable) variant must find the same identical-doc
+    pairs as the production xxhash64 variant."""
+    docs = _docs(spark)
+    for fn in ("xxhash64", "md5"):
+        sim = dedup.simhash64(docs, hash_fn=fn)
+        vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+        assert vals[1] == vals[2], fn
+
+
+def test_ivf_plan_has_no_global_single_partition_window(spark):
+    """Round 1's seed_centroids pulled the whole corpus through one task
+    (unpartitioned Window).  The seeding is now TakeOrdered + a tiny local
+    relation: the ivf_topk plan must contain no SinglePartition exchange and
+    must read the centroids from a local relation."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ann.ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
+    # centroids are a driver-merged local relation (printed as LocalTableScan
+    # or Scan ExistingRDD depending on the createDataFrame path)
+    assert ("LocalTableScan" in plan) or ("ExistingRDD" in plan)

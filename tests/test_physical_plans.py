@@ -19,7 +19,11 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 
 def test_column_pruning(spark, sf_dir):
-    plan = _plan(REGISTRY["p6_projection"].fn(spark, sf_dir))
+    # P6 is witnessed inside p5_threshold_split (registry capped at 50);
+    # the pruning contract itself is pinned here on the raw projection
+    plan = _plan(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "l_orderkey" in read_schema
     # unprojected wide columns must not be read
