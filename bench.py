@@ -22,8 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# synthetic ER corpus size for the headline throughput measurement
-N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "2000"))
+# synthetic ER corpus size for the headline throughput measurement.
+# >= 6000 keeps the score stage compute-dominated (BENCH/BASELINE.md: small
+# stages are scheduling-bound and report noise, not throughput)
+N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "6000"))
+# the headline stage runs LEGS times and reports the MIN: this box shares its
+# CPUs with the round driver's own jobs, and round 1 measured the identical
+# stage 18x apart hours apart under load — min-of-N is the noise defense
+# (same harness discipline as BENCH/scaling.py)
+LEGS = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
 
 
 def _force(df) -> int:
@@ -84,10 +91,13 @@ def main() -> None:
     n_pairs = pairs.count()
     timings["blocking"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
-    _force(scored.select("left_id", "right_id", "score"))
-    score_sec = time.time() - t0
+    leg_times = []
+    for _ in range(LEGS):
+        t0 = time.time()
+        scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
+        _force(scored.select("left_id", "right_id", "score"))
+        leg_times.append(time.time() - t0)
+    score_sec = min(leg_times)
     timings["score_pairs"] = round(score_sec, 3)
     pairs_per_sec = n_pairs / score_sec if score_sec > 0 else 0.0
 
@@ -127,6 +137,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "n_pairs_scored": n_pairs,
+                "score_legs_sec": [round(t, 3) for t in leg_times],
+                "n_base": N_BASE,
                 "total_sec": total,
                 "cpus": CPUS,
             }

@@ -102,6 +102,118 @@ def fit_logistic(train: DataFrame, label_col: str = "label"):
     )
 
 
+def fit_random_forest(
+    train: DataFrame,
+    label_col: str = "label",
+    num_trees: int = 200,
+    max_depth: int = 15,
+    min_instances_per_node: int = 1,
+    seed: int = 42,
+):
+    """Fit Spark ML RandomForest on FEATURE_COLS — the reference's model
+    family (sklearn RandomForestClassifier, ref: src/modeling_utils.py:255-260;
+    published best params README.md:355-369).  Same PipelineModel interface as
+    fit_logistic, so score_pairs_logistic works unchanged."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="fvec")
+    rf = RandomForestClassifier(
+        featuresCol="fvec",
+        labelCol=label_col,
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        minInstancesPerNode=min_instances_per_node,
+        seed=seed,
+    )
+    return Pipeline(stages=[assembler, rf]).fit(
+        train.select(*FEATURE_COLS, label_col).na.fill(0)
+    )
+
+
+# Reference grid: n_estimators [200,250] x max_depth [None,15,20] x
+# min_samples_leaf [1,2] (ref: src/modeling_utils.py:236-243).  Spark analog
+# (maxDepth has no None; 20 stands in for unbounded):
+DEFAULT_RF_GRID: tuple[dict, ...] = tuple(
+    {"num_trees": n, "max_depth": d, "min_instances_per_node": m}
+    for n in (200, 250)
+    for d in (15, 20)
+    for m in (1, 2)
+)
+
+
+def tune_model(
+    train: DataFrame,
+    val: DataFrame,
+    family: str = "rf",
+    grid: tuple[dict, ...] | None = None,
+    label_col: str = "label",
+    seed: int = 42,
+):
+    """Grid search with a PREDEFINED train/val split — the reference tunes
+    with GridSearchCV over a PredefinedSplit (fit on train rows, score on val
+    rows; ref: src/modeling_utils.py:207-281), which Spark's random-split
+    CrossValidator cannot honor, so this is a small driver loop of distributed
+    fits: one fit per combo on ``train``, F1 measured on ``val``, best combo
+    wins (ties -> first in grid order; all fits share ``seed``).
+
+    Returns (best_model, best_params, results) where results is
+    [(params, val_f1), ...] in grid order.
+    """
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    if grid is None:
+        grid = DEFAULT_RF_GRID if family == "rf" else (
+            {"reg_param": 1e-4}, {"reg_param": 1e-2}, {"reg_param": 1.0},
+        )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="f1"
+    )
+    val_clean = val.select(*FEATURE_COLS, label_col).na.fill(0)
+    results = []
+    best = None
+    for params in grid:
+        if family == "rf":
+            model = fit_random_forest(train, label_col=label_col, seed=seed, **params)
+        elif family == "logistic":
+            from pyspark.ml import Pipeline
+            from pyspark.ml.classification import LogisticRegression
+            from pyspark.ml.feature import VectorAssembler
+
+            assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="fvec")
+            lr = LogisticRegression(
+                featuresCol="fvec", labelCol=label_col, maxIter=50,
+                regParam=params.get("reg_param", 1e-4), standardization=True,
+            )
+            model = Pipeline(stages=[assembler, lr]).fit(
+                train.select(*FEATURE_COLS, label_col).na.fill(0)
+            )
+        else:
+            raise ValueError(f"unknown model family {family!r}")
+        f1 = float(evaluator.evaluate(model.transform(val_clean)))
+        results.append((params, f1))
+        if best is None or f1 > best[1]:
+            best = (model, f1, params)
+    return best[0], best[2], results
+
+
+def feature_importance_table(spark, model, model_family: str = "rf") -> DataFrame:
+    """(feature, importance, model_family) — the analogue of the reference's
+    published feature-importance table (README.md:482-490).  RF: Gini
+    importances (sum to 1); logistic: coefficients."""
+    stage = model.stages[-1]
+    if model_family == "rf":
+        vals = list(stage.featureImportances.toArray())
+    else:
+        vals = list(stage.coefficients.toArray())
+    rows = [(f, float(v), model_family) for f, v in zip(FEATURE_COLS, vals)]
+    rows.sort(key=lambda r: (-abs(r[1]), r[0]))
+    return spark.createDataFrame(
+        rows, "feature string, importance double, model_family string"
+    )
+
+
 def score_pairs_logistic(model, feat: DataFrame) -> DataFrame:
     """Attach model_score = P(match) from the fitted pipeline."""
     from pyspark.ml.functions import vector_to_array

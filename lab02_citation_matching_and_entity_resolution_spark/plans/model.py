@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from ..operators.features import FEATURE_COLS
 from ..operators.metrics import mrr_at_k, pairwise_prf
-from ..operators.scoring import fit_logistic, score_pairs_logistic
+from ..operators.scoring import (
+    feature_importance_table,
+    fit_logistic,
+    fit_random_forest,
+    score_pairs_logistic,
+    tune_model,
+)
 
 
 def group_split_col(key_col: str, test_frac_16: int = 2, val_frac_16: int = 2) -> F.Column:
@@ -35,12 +41,100 @@ def group_split_col(key_col: str, test_frac_16: int = 2, val_frac_16: int = 2) -
     )
 
 
+def binpack_split_map(
+    df: DataFrame,
+    group_col: str,
+    target_test_frac: float = 0.125,
+    target_val_frac: float = 0.125,
+    pinned_test: tuple = (),
+    pinned_val: tuple = (),
+) -> DataFrame:
+    """Reference-style greedy row-count bin-packing split map
+    (ref: src/match_utils.py:757-842): pinned (manual) groups are assigned
+    first, then groups are taken largest-first into test/val until each bin
+    reaches its row-count target (~12.5% by default); everything else trains.
+
+    Opt-in alternative to the hash-nibble ``group_split_col`` (the scale
+    default): this one can pin groups and hit an exact row fraction, at the
+    cost of a driver-side greedy pass over the per-group count aggregate —
+    one (group, count) tuple per group, the same map the reference collects
+    into ``row_counts``; use the hash split when group cardinality exceeds
+    driver memory (~10^7 groups).
+
+    Returns a small (group_col, partition) DataFrame covering test+val groups
+    only — broadcast-join it and default the misses to 'train'
+    (``binpack_group_split`` does exactly that).
+    """
+    counts = {
+        r["g"]: r["c"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    total = sum(counts.values())
+    target_test = total * target_test_frac
+    target_val = total * target_val_frac
+    assigned: dict = {}
+    test_rows = val_rows = 0
+    for g in pinned_test:
+        if g in counts:
+            assigned[g] = "test"
+            test_rows += counts[g]
+    for g in pinned_val:
+        if g in counts and g not in assigned:
+            assigned[g] = "val"
+            val_rows += counts[g]
+    # largest-first greedy; (count desc, group asc) makes the pick order —
+    # and therefore the split — deterministic under any row order
+    for g, c in sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0]))):
+        if g in assigned:
+            continue
+        if test_rows + c <= target_test:
+            assigned[g] = "test"
+            test_rows += c
+        elif val_rows + c <= target_val:
+            assigned[g] = "val"
+            val_rows += c
+    spark = df.sparkSession
+    rows = [(g, p) for g, p in sorted(assigned.items(), key=lambda kv: str(kv[0]))]
+    schema = df.select(F.col(group_col)).schema
+    out_type = schema.fields[0].dataType.simpleString()
+    return spark.createDataFrame(rows, f"{group_col} {out_type}, partition string")
+
+
+def binpack_group_split(
+    df: DataFrame,
+    group_col: str,
+    target_test_frac: float = 0.125,
+    target_val_frac: float = 0.125,
+    pinned_test: tuple = (),
+    pinned_val: tuple = (),
+) -> DataFrame:
+    """df + 'partition' column via the bin-packing map (broadcast join;
+    groups absent from the map are train)."""
+    m = binpack_split_map(
+        df, group_col, target_test_frac, target_val_frac, pinned_test, pinned_val
+    )
+    return df.join(F.broadcast(m), group_col, "left").withColumn(
+        "partition", F.coalesce("partition", F.lit("train"))
+    )
+
+
 def attach_labels(feature_pairs: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
-    """Inner-join ground-truth labels onto the feature frame (canonical ids)."""
-    return feature_pairs.join(
+    """Join ground-truth labels onto the feature frame (canonical ids).
+
+    RIGHT join: every labeled pair survives.  A labeled pair that blocking
+    never produced gets all-zero features — which is exactly what it is (no
+    blocking key fired, no similarity evidence), and is how the negative
+    class reaches the trainer at all: blocking correctly refuses to pair
+    different entities, so an inner join would starve training of label-0
+    rows (round 1 did precisely that — single-class fits)."""
+    joined = feature_pairs.join(
         labeled_pairs.select("left_id", "right_id", "label"),
         ["left_id", "right_id"],
+        "right",
     )
+    return joined.na.fill(0.0, subset=[c for c in FEATURE_COLS if c in joined.columns])
 
 
 def predictions_table(
@@ -92,19 +186,39 @@ class ModelResult:
     scored: DataFrame          # labeled pairs + model_score + partition
     test_metrics: dict         # pairwise P/R/F1 on the test partition
     mrr5: float
+    importances: DataFrame | None = None   # (feature, importance, model_family)
+    best_params: dict | None = None        # set when tune=True
+    tuning_results: list | None = None     # [(params, val_f1), ...] grid order
 
 
 def train_and_evaluate(
     feature_pairs: DataFrame,
     labeled_pairs: DataFrame,
     threshold: float = 0.5,
+    model_family: str = "logistic",
+    tune: bool = False,
+    grid: tuple[dict, ...] | None = None,
 ) -> ModelResult:
+    """model_family: "logistic" (north-star default) or "rf" (the reference's
+    RandomForest, ref: src/modeling_utils.py:255-260).  tune=True grid-searches
+    on the predefined train/val split (reference GridSearchCV+PredefinedSplit,
+    :207-281) instead of a single fit."""
     data = attach_labels(feature_pairs, labeled_pairs).withColumn(
         "partition", group_split_col("left_id")
     ).persist()
 
     train = data.where(F.col("partition") == "train")
-    model = fit_logistic(train)
+    best_params = None
+    tuning_results = None
+    if tune:
+        val = data.where(F.col("partition") == "val")
+        model, best_params, tuning_results = tune_model(
+            train, val, family=model_family, grid=grid
+        )
+    elif model_family == "rf":
+        model = fit_random_forest(train)
+    else:
+        model = fit_logistic(train)
     scored = score_pairs_logistic(model, data).persist()
 
     test = scored.where(F.col("partition") == "test")
@@ -118,4 +232,22 @@ def train_and_evaluate(
         labeled_pairs,
         k=5,
     )
-    return ModelResult(model, scored, test_metrics, mrr5)
+    importances = feature_importance_table(
+        feature_pairs.sparkSession, model, model_family
+    )
+    return ModelResult(
+        model, scored, test_metrics, mrr5,
+        importances=importances, best_params=best_params,
+        tuning_results=tuning_results,
+    )
+
+
+def log_importances(log, result: ModelResult, stage: str = "model"):
+    """Write the importance table into the lineage metrics table
+    (metric=importance.<feature>) — the M9 sink analogue of the reference's
+    published importance table (README.md:482-490)."""
+    rows = [
+        (0, f"importance.{r['feature']}", float(r["importance"]))
+        for r in result.importances.collect()
+    ]
+    log.log_metrics(stage, rows)

@@ -1,0 +1,76 @@
+"""TableStore's Iceberg branch (sources/tables.py) has no runtime jar in this
+sandbox, so the real-cluster call path is pinned with mocks: when a catalog is
+configured, every verb must go through the writeTo/table API (never the
+parquet path), exactly the calls a configured cluster would execute."""
+
+from unittest.mock import MagicMock
+
+from pyspark.sql import functions as F
+
+from lab02_citation_matching_and_entity_resolution_spark.sources.tables import TableStore
+
+
+def _fake_spark_with_catalog():
+    fake = MagicMock()
+    fake.conf.get.side_effect = (
+        lambda key, default=None: "org.apache.iceberg.spark.SparkCatalog"
+        if key == "spark.sql.catalog.er"
+        else default
+    )
+    return fake
+
+
+def test_iceberg_create_or_replace_and_partitioning(spark):
+    # `spark` fixture keeps a JVM up so F.col() resolves; the store itself
+    # talks to the mock only
+    fake = _fake_spark_with_catalog()
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+
+    store.create_or_replace(df, "docs", partition_by=["lang"])
+    df.writeTo.assert_called_once_with("er.docs")
+    chain = df.writeTo.return_value.using
+    chain.assert_called_once_with("iceberg")
+    chain.return_value.partitionedBy.assert_called_once()
+    chain.return_value.partitionedBy.return_value.createOrReplace.assert_called_once()
+    df.write.mode.assert_not_called()  # parquet path must not run
+
+
+def test_iceberg_append_and_overwrite_partitions(spark):
+    fake = _fake_spark_with_catalog()
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+
+    df = MagicMock()
+    store.append(df, "metrics")
+    df.writeTo.assert_called_once_with("er.metrics")
+    df.writeTo.return_value.append.assert_called_once()
+    df.write.mode.assert_not_called()
+
+    df2 = MagicMock()
+    store.overwrite_partitions(df2, "pairs", partition_by=["partition_key"])
+    df2.writeTo.assert_called_once_with("er.pairs")
+    df2.writeTo.return_value.overwritePartitions.assert_called_once()
+    df2.write.mode.assert_not_called()
+    # the parquet fallback's dynamic-overwrite conf must not be touched
+    fake.conf.set.assert_not_called()
+
+
+def test_iceberg_read_and_exists(spark):
+    fake = _fake_spark_with_catalog()
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+
+    store.read("docs")
+    fake.read.table.assert_called_once_with("er.docs")
+    store.exists("docs")
+    fake.catalog.tableExists.assert_called_once_with("er.docs")
+
+
+def test_catalog_configured_but_unavailable_falls_back(spark, tmp_path):
+    """catalog name set but no catalog conf -> parquet path (the sandbox)."""
+    fake = MagicMock()
+    fake.conf.get.side_effect = lambda key, default=None: default
+    store = TableStore(fake, str(tmp_path), catalog="er")
+    df = MagicMock()
+    store.append(df, "t")
+    df.writeTo.assert_not_called()
+    df.write.mode.assert_called_once_with("append")

@@ -93,3 +93,138 @@ def test_predictions_table(spark, feature_pairs):
     )
     with_truth = sum(1 for r in rows if r["groundtruth"] and r["predictions"])
     assert with_truth == 0 or hits / with_truth >= 0.9
+
+
+def test_rf_tuning_beats_or_matches_untuned(spark, feature_pairs):
+    """M5: grid search on the predefined train/val split must never do worse
+    than a fixed untuned fit whose params are in the grid."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        fit_random_forest,
+        tune_model,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    data = (
+        attach_labels(feature_pairs, labeled)
+        .withColumn("partition", group_split_col("left_id"))
+        .persist()
+    )
+    train = data.where("partition = 'train'")
+    val = data.where("partition = 'val'")
+    untuned_params = {"num_trees": 3, "max_depth": 2, "min_instances_per_node": 4}
+    grid = (
+        untuned_params,
+        {"num_trees": 30, "max_depth": 8, "min_instances_per_node": 1},
+    )
+    ev = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="f1"
+    )
+    val_clean = val.select(*FEATURE_COLS, "label").na.fill(0)
+    f1_untuned = ev.evaluate(
+        fit_random_forest(train, **untuned_params).transform(val_clean)
+    )
+    _, best_params, results = tune_model(train, val, family="rf", grid=grid)
+    assert len(results) == 2
+    best_f1 = max(f1 for _, f1 in results)
+    assert best_f1 >= f1_untuned - 1e-9
+    assert best_params in grid
+
+
+def test_rf_importances_and_metrics_sink(spark, feature_pairs, tmp_path):
+    """M9: RF Gini importances over FEATURE_COLS, written to the lineage
+    metrics table (reference's published importance table, README.md:482-490)."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.plans.lineage import (
+        METRICS_TABLE,
+        LineageLog,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        log_importances,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.sources.tables import (
+        TableStore,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    res = train_and_evaluate(
+        feature_pairs,
+        labeled,
+        model_family="rf",
+        tune=True,
+        grid=({"num_trees": 10, "max_depth": 5, "min_instances_per_node": 1},),
+    )
+    imp = res.importances.collect()
+    assert {r["feature"] for r in imp} == set(FEATURE_COLS)
+    assert abs(sum(r["importance"] for r in imp) - 1.0) < 1e-6
+    assert res.best_params is not None and res.tuning_results is not None
+    assert res.test_metrics["f1"] >= 0.8, res.test_metrics
+
+    store = TableStore(spark, str(tmp_path))
+    log = LineageLog(store, "run-imp")
+    log_importances(log, res)
+    metrics = store.read(METRICS_TABLE).collect()
+    names = {r["metric"] for r in metrics}
+    assert names == {f"importance.{f}" for f in FEATURE_COLS}
+
+
+def test_binpack_split_fractions_and_leakage(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        binpack_group_split,
+    )
+
+    rows = [(f"g{i:04d}", j) for i in range(400) for j in range(3 + i % 6)]
+    df = spark.createDataFrame(rows, "gid string, j int")
+    total = df.count()
+    out = binpack_group_split(df, "gid").persist()
+    frac = {
+        r["partition"]: r["n"] / total
+        for r in out.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # reference targets ~12.5% test and val by ROW count, within 1%
+    assert abs(frac["test"] - 0.125) <= 0.01, frac
+    assert abs(frac["val"] - 0.125) <= 0.01, frac
+    # leakage-free: every group in exactly one partition
+    assert (
+        out.groupBy("gid")
+        .agg(F.countDistinct("partition").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_binpack_pinned_groups(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        binpack_group_split,
+    )
+
+    rows = [(f"g{i}", j) for i in range(40) for j in range(5)]
+    df = spark.createDataFrame(rows, "gid string, j int")
+    out = binpack_group_split(
+        df, "gid", pinned_test=("g7",), pinned_val=("g9",)
+    )
+    got = {r["gid"]: r["partition"] for r in out.select("gid", "partition").distinct().collect()}
+    assert got["g7"] == "test"
+    assert got["g9"] == "val"
+
+
+def test_binpack_deterministic(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        binpack_split_map,
+    )
+
+    rows = [(f"g{i}", j) for i in range(60) for j in range(2 + i % 4)]
+    df = spark.createDataFrame(rows, "gid string, j int")
+    a = sorted(map(tuple, binpack_split_map(df, "gid").collect()))
+    b = sorted(map(tuple, binpack_split_map(df.repartition(7), "gid").collect()))
+    assert a == b
