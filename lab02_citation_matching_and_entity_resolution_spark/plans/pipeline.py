@@ -41,6 +41,11 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     use_greedy_one_to_one: bool = False  # reference-parity resolution mode
     max_cc_iter: int = 25
+    # TF-IDF fit scope: None = global corpus fit; a doc-column tuple fits the
+    # IDF within each group of those columns (the reference's default
+    # TFIDF_SCOPE="paper", ref match_utils.py:411-424 — e.g. ("lang",) or a
+    # blocking-key column present on the documents frame)
+    tfidf_scope_cols: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -58,7 +63,7 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
     docs = assemble_documents(transcripts).persist()
     pairs, block_metrics = candidate_pairs(docs, cfg.blocking)
     feat = pair_features(pairs, docs)
-    feat = pair_tfidf_cosine(feat, docs)
+    feat = pair_tfidf_cosine(feat, docs, scope_cols=cfg.tfidf_scope_cols)
     scored = score_pairs_rule(feat).persist()
 
     if cfg.use_greedy_one_to_one:

@@ -116,3 +116,15 @@ def test_distributed_synth_identical_to_driver(spark):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_end_to_end_f1_with_block_scoped_tfidf(spark, corpus):
+    """Reference default TFIDF_SCOPE="paper": the pipeline with per-block IDF
+    fitting must still clear the north F1 bar on the synthetic corpus."""
+    transcripts, truth, labeled = corpus
+    result = run_pipeline(
+        transcripts, PipelineConfig(tfidf_scope_cols=("n_turns",))
+    )
+    metrics = evaluate(result, labeled, truth)
+    assert metrics["pairs"]["f1"] >= 0.99, metrics
+    assert metrics["clusters"]["f1"] >= 0.99, metrics
