@@ -27,14 +27,37 @@ CORE_LEVELS = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
 )
 
-RUNNER = r"""
-import json, os, sys, time
+# PREP runs once, unpinned at full width: synth -> assemble -> blocking,
+# persisted to parquet.  Every measured leg then only reads the SAME bytes
+# and times the score stage — identical input across levels, and the pinned
+# legs don't waste their core budget regenerating data.
+PREP = r"""
+import json, os, sys
 sys.path.insert(0, "@REPO@")
-cores = int(sys.argv[1]); n_base = int(sys.argv[2])
+n_base = int(sys.argv[1]); out_dir = sys.argv[2]
 from lab02_citation_matching_and_entity_resolution_spark.session import get_spark
 from lab02_citation_matching_and_entity_resolution_spark.synth import SynthConfig, transcripts_df_distributed
 from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import assemble_documents
 from lab02_citation_matching_and_entity_resolution_spark.operators.blocking import candidate_pairs
+
+spark = get_spark(app_name="er-scale-prep", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+tr = transcripts_df_distributed(spark, SynthConfig(n_base=n_base)).persist(); tr.count()
+docs = assemble_documents(tr).persist(); docs.count()
+pairs, _ = candidate_pairs(docs)
+docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "pairs"))
+with open(os.path.join(out_dir, "meta.json"), "w") as f:
+    json.dump({"n_base": n_base}, f)
+print(json.dumps({"prepared": n_base}))
+spark.stop()
+"""
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, "@REPO@")
+cores = int(sys.argv[1]); data_dir = sys.argv[2]
+from lab02_citation_matching_and_entity_resolution_spark.session import get_spark
 from lab02_citation_matching_and_entity_resolution_spark.operators.features import pair_features
 from lab02_citation_matching_and_entity_resolution_spark.operators.tfidf import pair_tfidf_cosine
 from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import score_pairs_rule
@@ -42,9 +65,8 @@ from lab02_citation_matching_and_entity_resolution_spark.operators.scoring impor
 spark = get_spark(app_name=f"er-scale-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
-tr = transcripts_df_distributed(spark, SynthConfig(n_base=n_base)).persist(); tr.count()
-docs = assemble_documents(tr).persist(); docs.count()
-pairs, _ = candidate_pairs(docs); pairs = pairs.persist()
+docs = spark.read.parquet(os.path.join(data_dir, "docs")).persist(); docs.count()
+pairs = spark.read.parquet(os.path.join(data_dir, "pairs")).persist()
 n_pairs = pairs.count()
 t0 = time.time()
 scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
@@ -63,19 +85,44 @@ spark.stop()
 """
 
 
+DATA_DIR = os.environ.get("SPARK_GRAFT_SCALING_DATA", "/tmp/er_scaling_data")
+
+
+def _env() -> dict:
+    # PYTHONPATH + cwd=REPO so Spark PYTHON WORKERS (not just the driver)
+    # can unpickle package UDFs regardless of where scaling.py is invoked
+    return dict(
+        os.environ,
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+
+
+def prepare_data() -> None:
+    meta = os.path.join(DATA_DIR, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            if json.load(f).get("n_base") == N_BASE:
+                print(f"reusing prepared corpus n_base={N_BASE} at {DATA_DIR}")
+                return
+    os.makedirs(DATA_DIR, exist_ok=True)
+    print(f"preparing corpus n_base={N_BASE} at {DATA_DIR} (unpinned local[32])",
+          flush=True)
+    out = subprocess.run(
+        [sys.executable, "-c", PREP.replace("@REPO@", REPO), str(N_BASE), DATA_DIR],
+        capture_output=True, text=True, timeout=3600, env=_env(), cwd=REPO,
+    )
+    if "prepared" not in out.stdout:
+        raise RuntimeError(f"prep failed:\n{out.stderr[-3000:]}")
+
+
 def run_at(cores: int, retries: int = 1) -> dict:
     import shutil
 
     code = RUNNER.replace("@REPO@", REPO)
     last_err = ""
     for attempt in range(retries + 1):
-        # PYTHONPATH + cwd=REPO so Spark PYTHON WORKERS (not just the driver)
-        # can unpickle package UDFs regardless of where scaling.py is invoked
-        env = dict(
-            os.environ,
-            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-        )
-        cmd = [sys.executable, "-c", code, str(cores), str(N_BASE)]
+        env = _env()
+        cmd = [sys.executable, "-c", code, str(cores), DATA_DIR]
         # PIN the whole process tree (JVM + GC + Python Arrow workers + IO
         # threads) to exactly `cores` CPUs: local[N] alone only bounds task
         # slots, and on a quiet box the 2-core leg leaks 3-4 extra cores of
@@ -109,6 +156,7 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 
 
 def main() -> None:
+    prepare_data()
     # interleave legs and take the MIN time per level: the sandbox shares its
     # CPUs with the round driver's periodic jobs, so single measurements can
     # be 2x off; min-of-3 interleaved is robust to that noise
@@ -150,6 +198,7 @@ def main() -> None:
         print(f"control (pure-compute) speedup {lo}->{hi}: {ctrl_speedup:.2f}x; "
               f"pipeline speedup: {pipe_speedup:.2f}x; "
               f"normalized efficiency = {pipe_speedup / ctrl_speedup:.3f}")
+    results["n_base"] = N_BASE
     with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
         json.dump(results, f, indent=2)
 
