@@ -518,17 +518,22 @@ def d4_field_extraction(spark, sf_dir):
 
 q_so5_ordered_dedup_sql = """
 SELECT doc_id,
-       list_sort(list_distinct(string_split(text, ' '))) AS tokens_sorted
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS tokens_sorted
 FROM documents
 """
 
 
 @q("so5_ordered_dedup", q_so5_ordered_dedup_sql,
-   "SO5: array dedup; compared sorted for engine-neutral order (ref parse_util.py:683)")
+   "SO5: order-preserving token dedup, witnessed as a joined scalar so the "
+   "driver canonicalizer can hash it (ref parse_util.py:683). The array-typed "
+   "variant is pinned in tests/test_setops.py.")
 def so5_ordered_dedup(spark, sf_dir):
     return T(spark, sf_dir, "documents").select(
         "doc_id",
-        F.sort_array(F.array_distinct(F.split("text", " "))).alias("tokens_sorted"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split("text", " "))), " "
+        ).alias("tokens_sorted"),
     )
 
 

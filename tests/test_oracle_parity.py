@@ -64,3 +64,24 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     key = sorted(s_cols)
     assert _rowset(key, s_rows) == _rowset(key, d_rows), f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_queries_emit_scalar_columns_only(spark, sf_dir, name):
+    """The driver's canonicalizer pandas-sorts the result frame; array/map/struct
+    columns are unhashable there and error the row (round-2 so5 failure). Reject
+    them locally for every oracle-bearing query before the driver ever runs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    spec = REGISTRY[name]
+    if spec.sql is None:
+        return  # rows-only queries never reach the driver's hash compare
+    sdf = spec.fn(spark, sf_dir)
+    bad = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-bearing query returns non-scalar columns {bad}; "
+        "join/scalarize them (driver canonicalizer cannot hash lists)"
+    )
