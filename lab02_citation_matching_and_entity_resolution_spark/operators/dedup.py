@@ -18,16 +18,72 @@ hashing keeps every operator reproducible across engines and cluster sizes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .blocking import shingle_expr
+
+CAP_METRICS_SCHEMA = "block_key string, block_size long, cap int, rows_dropped long"
 
 
 def _md5_i64(col: F.Column, salt: int) -> F.Column:
     """Deterministic 63-bit int hash from md5 (portable to DuckDB: same md5)."""
     return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{salt}"))), 1, 15), 16, 10).cast(
         "long"
+    )
+
+
+def _md5_rank(id_col: str, cap_seed: int) -> F.Column:
+    """Engine-portable deterministic rank key: md5(id || '#seed').
+
+    md5 (not xxhash64) so a DuckDB oracle applying the same cap reproduces
+    the exact survivor set; stable under any partitioning."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{cap_seed}")))
+
+
+def _cap_block(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    cap: int,
+    cap_seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """row_number()<=cap inside each block, md5(id)-ranked; returns
+    (survivors, metrics-of-capped-blocks). Shared skew-cap discipline for
+    every self-joining dedup operator — a hot block (boilerplate text, one
+    dominant language slice) otherwise goes quadratic at corpus scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*block_cols).orderBy(
+        _md5_rank(id_col, cap_seed), F.col(id_col)
+    )
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    metrics = (
+        ranked.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .where(F.col("block_size") > cap)
+        .select(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in block_cols]).alias(
+                "block_key"
+            ),
+            "block_size",
+            F.lit(cap).alias("cap"),
+            (F.col("block_size") - cap).alias("rows_dropped"),
+        )
+    )
+    return ranked.where(F.col("_rk") <= cap).drop("_rk"), metrics
+
+
+def _warn_cap_unaudited(op: str, cap: int, param: str = "block_cap") -> None:
+    warnings.warn(
+        f"{op}: {param}={cap} is active — rows beyond the cap in hot "
+        "buckets are dropped deterministically (md5-ranked). Pass "
+        "return_metrics=True to receive the per-block truncation audit, "
+        "or block_cap=None for exhaustive (quadratic-risk) behavior.",
+        RuntimeWarning,
+        stacklevel=3,
     )
 
 
@@ -50,20 +106,43 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Within-block char-n-gram Jaccard near-duplicate pairs >= threshold."""
+    block_cap: int | None = 2000,
+    cap_seed: int = 23120334,
+    return_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Within-block char-n-gram Jaccard near-duplicate pairs >= threshold.
+
+    The self-join blocks on ``block_cols``; at corpus scale a coarse block
+    (e.g. the whole ("en","web") slice) is a quadratic catastrophe, so
+    ``block_cap`` bounds every block to a deterministic md5(id)-ranked
+    sample before the join (same discipline as simhash/minhash). The cap
+    DOES drop rows in hot blocks: pass return_metrics=True for the
+    per-block truncation audit (a warning is emitted when the audit is
+    discarded). At 100 TB, prefer finer caller-supplied blocks (LSH band,
+    fingerprint prefix) over raising the cap.
+    """
     sh = docs.select(
         *block_cols, F.col(id_col), shingle_expr(text_col, n).alias("sh")
     ).where(F.size("sh") > 0)
+    metrics = None
+    if block_cap is not None:
+        sh, metrics = _cap_block(sh, list(block_cols), id_col, block_cap, cap_seed)
+        if not return_metrics:
+            _warn_cap_unaudited("ngram_jaccard_pairs", block_cap)
     a = sh.select(*block_cols, F.col(id_col).alias("left_id"), F.col("sh").alias("sha"))
     b = sh.select(*block_cols, F.col(id_col).alias("right_id"), F.col("sh").alias("shb"))
     pairs = a.join(b, list(block_cols)).where(F.col("left_id") < F.col("right_id"))
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+    if return_metrics:
+        if metrics is None:
+            metrics = docs.sparkSession.createDataFrame([], CAP_METRICS_SCHEMA)
+        return out, metrics
+    return out
 
 
 def minhash_signatures(
@@ -101,19 +180,23 @@ def minhash_band_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
-    band_cap: int | None = None,
+    band_cap: int | None = 1000,
     cap_seed: int = 23120334,
-) -> DataFrame:
+    return_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Banded LSH: docs sharing any full band of minhashes become a pair.
 
     All bands are keyed in ONE pass (posexplode of the band-key array) so the
     self-join runs once on (band_idx, band_key) instead of ``bands`` separate
-    joins.  ``band_cap`` bounds any band bucket (boilerplate content shared by
-    thousands of docs would otherwise explode quadratically): deterministic
-    xxhash64-ranked row_number, same discipline as blocking's skew cap.
+    joins.  ``band_cap`` (default ON — boilerplate content shared by
+    thousands of docs would otherwise explode the bucket self-join
+    quadratically) bounds any band bucket via md5(id)-ranked row_number —
+    engine-portable, so a DuckDB oracle applying the same cap reproduces the
+    exact pair set.  The cap DOES drop rows in hot buckets: pass
+    return_metrics=True for the per-bucket truncation audit (a warning is
+    emitted when the audit is discarded), or band_cap=None for exhaustive
+    behavior.
     """
-    from pyspark.sql.window import Window
-
     rows = n_hashes // bands
     band_keys = F.array(
         *[
@@ -128,21 +211,26 @@ def minhash_band_pairs(
     keyed = signatures.select(
         F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
     )
+    metrics = None
     if band_cap is not None:
-        w = Window.partitionBy("band_idx", "band_key").orderBy(
-            F.xxhash64(id_col, F.lit(cap_seed)), F.col(id_col)
+        keyed, metrics = _cap_block(
+            keyed, ["band_idx", "band_key"], id_col, band_cap, cap_seed
         )
-        keyed = keyed.withColumn("_rk", F.row_number().over(w)).where(
-            F.col("_rk") <= band_cap
-        ).drop("_rk")
+        if not return_metrics:
+            _warn_cap_unaudited("minhash_band_pairs", band_cap, "band_cap")
     l = keyed.select(F.col(id_col).alias("left_id"), "band_idx", "band_key")
     r = keyed.select(F.col(id_col).alias("right_id"), "band_idx", "band_key")
-    return (
+    out = (
         l.join(r, ["band_idx", "band_key"])
         .where(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
     )
+    if return_metrics:
+        if metrics is None:
+            metrics = signatures.sparkSession.createDataFrame([], CAP_METRICS_SCHEMA)
+        return out, metrics
+    return out
 
 
 def simhash64(
@@ -207,11 +295,11 @@ def simhash_near_pairs(
     boilerplate-heavy corpus can drop thousands of docs into one 16-bit
     bucket, going quadratic without it.  Ranking is md5(id)-ordered (stable
     under any partitioning AND engine-portable, so a DuckDB oracle with the
-    same cap reproduces the exact pair set).  Cap events are counted into a
-    metrics frame — no silent truncation; pass return_metrics=True to get it.
+    same cap reproduces the exact pair set).  The cap DOES drop rows in hot
+    buckets: pass return_metrics=True for the per-bucket truncation audit (a
+    warning is emitted when the audit is discarded), or block_cap=None for
+    exhaustive behavior.
     """
-    from pyspark.sql.window import Window
-
     keyed = sim.select(
         F.col(id_col),
         F.col("simhash"),
@@ -219,23 +307,9 @@ def simhash_near_pairs(
     )
     metrics = None
     if block_cap is not None:
-        w = Window.partitionBy("block").orderBy(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{cap_seed}"))),
-            F.col(id_col),
-        )
-        ranked = keyed.withColumn("_rk", F.row_number().over(w))
-        metrics = (
-            ranked.groupBy("block")
-            .agg(F.count(F.lit(1)).alias("block_size"))
-            .where(F.col("block_size") > block_cap)
-            .select(
-                F.col("block").cast("string").alias("block_key"),
-                "block_size",
-                F.lit(block_cap).alias("cap"),
-                (F.col("block_size") - block_cap).alias("rows_dropped"),
-            )
-        )
-        keyed = ranked.where(F.col("_rk") <= block_cap).drop("_rk")
+        keyed, metrics = _cap_block(keyed, ["block"], id_col, block_cap, cap_seed)
+        if not return_metrics:
+            _warn_cap_unaudited("simhash_near_pairs", block_cap)
     a = keyed.select(F.col(id_col).alias("left_id"), F.col("simhash").alias("sa"), "block")
     b = keyed.select(F.col(id_col).alias("right_id"), F.col("simhash").alias("sb"), "block")
     pairs = a.join(b, "block").where(F.col("left_id") < F.col("right_id"))
@@ -244,9 +318,8 @@ def simhash_near_pairs(
         "left_id", "right_id", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
     if return_metrics:
-        empty_schema = "block_key string, block_size long, cap int, rows_dropped long"
         if metrics is None:
-            metrics = sim.sparkSession.createDataFrame([], empty_schema)
+            metrics = sim.sparkSession.createDataFrame([], CAP_METRICS_SCHEMA)
         return out, metrics
     return out
 

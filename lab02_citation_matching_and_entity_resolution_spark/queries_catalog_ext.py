@@ -41,13 +41,21 @@ WITH cleaned AS (
   SELECT doc_id, lang, source, regexp_replace(lower(text), '\\s+', '', 'g') AS c
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT doc_id, lang, source,
          CASE WHEN length(c) >= 3
               THEN list_distinct(list_transform(range(1, length(c) - 1),
                                                 i -> substr(c, CAST(i AS INT), 3)))
               ELSE [] END AS s
   FROM cleaned
+),
+sh AS (
+  -- same md5-ranked block cap (2000) the Spark operator applies by default
+  SELECT doc_id, lang, source, s FROM sh_all WHERE len(s) > 0
+  QUALIFY row_number() OVER (
+    PARTITION BY lang, source
+    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#23120334')), doc_id
+  ) <= 2000
 )
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
        ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -92,17 +100,27 @@ sigs AS (
 
 
 q_minhash_pairs_sql = _duck_minhash_cte(8, 4) + """
-, banded AS (
-  SELECT doc_id, md5(concat_ws('|', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS band_key FROM sigs
+, banded_all AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(concat_ws('|', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS band_key FROM sigs
   UNION ALL
-  SELECT doc_id, md5(concat_ws('|', CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR))) FROM sigs
+  SELECT doc_id, 1, md5(concat_ws('|', CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR))) FROM sigs
   UNION ALL
-  SELECT doc_id, md5(concat_ws('|', CAST(h4 AS VARCHAR), CAST(h5 AS VARCHAR))) FROM sigs
+  SELECT doc_id, 2, md5(concat_ws('|', CAST(h4 AS VARCHAR), CAST(h5 AS VARCHAR))) FROM sigs
   UNION ALL
-  SELECT doc_id, md5(concat_ws('|', CAST(h6 AS VARCHAR), CAST(h7 AS VARCHAR))) FROM sigs
+  SELECT doc_id, 3, md5(concat_ws('|', CAST(h6 AS VARCHAR), CAST(h7 AS VARCHAR))) FROM sigs
+),
+banded AS (
+  -- same md5-ranked band cap (1000) the Spark operator applies by default
+  SELECT doc_id, band_idx, band_key FROM banded_all
+  QUALIFY row_number() OVER (
+    PARTITION BY band_idx, band_key
+    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#23120334')), doc_id
+  ) <= 1000
 )
 SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-FROM banded a JOIN banded b ON a.band_key = b.band_key
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """
 
