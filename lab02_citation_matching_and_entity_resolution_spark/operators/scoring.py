@@ -109,15 +109,38 @@ def fit_random_forest(
     max_depth: int = 15,
     min_instances_per_node: int = 1,
     seed: int = 42,
+    balance_classes: bool = False,
 ):
     """Fit Spark ML RandomForest on FEATURE_COLS — the reference's model
     family (sklearn RandomForestClassifier, ref: src/modeling_utils.py:255-260;
     published best params README.md:355-369).  Same PipelineModel interface as
-    fit_logistic, so score_pairs_logistic works unchanged."""
+    fit_logistic, so score_pairs_logistic works unchanged.
+
+    ``balance_classes=True`` emulates sklearn class_weight='balanced' via a
+    weightCol: weight = n_rows / (2 * n_rows_of_class), computed in one tiny
+    aggregate and applied as a broadcast-joined column (ER labels are heavily
+    negative-skewed, so this is material — round-2 ADVICE)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
+    data = train.select(*FEATURE_COLS, label_col).na.fill(0)
+    kwargs = {}
+    if balance_classes:
+        counts = {
+            r["l"]: r["c"]
+            for r in data.groupBy(F.col(label_col).alias("l"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        total = sum(counts.values())
+        n_classes = max(len(counts), 1)
+        wmap = {lbl: total / (n_classes * c) for lbl, c in counts.items()}
+        w = F.lit(1.0)
+        for lbl, wt in sorted(wmap.items()):
+            w = F.when(F.col(label_col) == lbl, F.lit(float(wt))).otherwise(w)
+        data = data.withColumn("class_weight", w)
+        kwargs["weightCol"] = "class_weight"
     assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="fvec")
     rf = RandomForestClassifier(
         featuresCol="fvec",
@@ -126,20 +149,35 @@ def fit_random_forest(
         maxDepth=max_depth,
         minInstancesPerNode=min_instances_per_node,
         seed=seed,
+        **kwargs,
     )
-    return Pipeline(stages=[assembler, rf]).fit(
-        train.select(*FEATURE_COLS, label_col).na.fill(0)
-    )
+    return Pipeline(stages=[assembler, rf]).fit(data)
 
 
-# Reference grid: n_estimators [200,250] x max_depth [None,15,20] x
-# min_samples_leaf [1,2] (ref: src/modeling_utils.py:236-243).  Spark analog
-# (maxDepth has no None; 20 stands in for unbounded):
+# Reference grid (ref: src/modeling_utils.py:236-243, 48 combos):
+#   n_estimators      [200, 250]  -> num_trees
+#   max_depth         [None,15,20]-> max_depth (no None in Spark; 20 stands
+#                                    in for unbounded, collapsing 3 -> 2)
+#   min_samples_leaf  [1, 2]      -> min_instances_per_node
+#   min_samples_split [2, 5]     -> DROPPED: Spark RF has no analog (its
+#                                    minInstancesPerNode maps to
+#                                    min_samples_leaf, not _split)
+#   class_weight ['balanced','balanced_subsample']
+#                                 -> balance_classes True/False via weightCol
+#                                    ('balanced_subsample' re-weights per
+#                                    bootstrap, which Spark cannot express;
+#                                    both collapse to 'balanced')
 DEFAULT_RF_GRID: tuple[dict, ...] = tuple(
-    {"num_trees": n, "max_depth": d, "min_instances_per_node": m}
+    {
+        "num_trees": n,
+        "max_depth": d,
+        "min_instances_per_node": m,
+        "balance_classes": b,
+    }
     for n in (200, 250)
     for d in (15, 20)
     for m in (1, 2)
+    for b in (True, False)
 )
 
 
@@ -150,16 +188,25 @@ def tune_model(
     grid: tuple[dict, ...] | None = None,
     label_col: str = "label",
     seed: int = 42,
+    search: str = "grid",
+    n_trials: int = 30,
 ):
-    """Grid search with a PREDEFINED train/val split — the reference tunes
-    with GridSearchCV over a PredefinedSplit (fit on train rows, score on val
-    rows; ref: src/modeling_utils.py:207-281), which Spark's random-split
-    CrossValidator cannot honor, so this is a small driver loop of distributed
-    fits: one fit per combo on ``train``, F1 measured on ``val``, best combo
-    wins (ties -> first in grid order; all fits share ``seed``).
+    """Hyperparameter search with a PREDEFINED train/val split — the
+    reference tunes with GridSearchCV over a PredefinedSplit (fit on train
+    rows, score on val rows; ref: src/modeling_utils.py:207-281), which
+    Spark's random-split CrossValidator cannot honor, so this is a small
+    driver loop of distributed fits: one fit per combo on ``train``,
+    POSITIVE-CLASS F1 measured on ``val`` (sklearn scoring='f1' is binary
+    pos-label F1, NOT weighted multiclass — round-2 ADVICE), best combo wins
+    (ties -> first in trial order; all fits share ``seed``).
+
+    ``search="grid"`` tries every combo; ``search="random"`` is the analog
+    of the reference's Optuna study (notebooks/modeling.ipynb cell 12,
+    30 trials): a seeded without-replacement sample of ``n_trials`` combos
+    from the grid, deterministic under ``seed``.
 
     Returns (best_model, best_params, results) where results is
-    [(params, val_f1), ...] in grid order.
+    [(params, val_f1), ...] in trial order.
     """
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
@@ -167,8 +214,18 @@ def tune_model(
         grid = DEFAULT_RF_GRID if family == "rf" else (
             {"reg_param": 1e-4}, {"reg_param": 1e-2}, {"reg_param": 1.0},
         )
+    if search == "random":
+        import random as _random
+
+        rng = _random.Random(seed)
+        idx = list(range(len(grid)))
+        rng.shuffle(idx)
+        grid = tuple(grid[i] for i in sorted(idx[: min(n_trials, len(grid))]))
+    elif search != "grid":
+        raise ValueError(f"unknown search mode {search!r}")
     evaluator = MulticlassClassificationEvaluator(
-        labelCol=label_col, predictionCol="prediction", metricName="f1"
+        labelCol=label_col, predictionCol="prediction",
+        metricName="fMeasureByLabel", metricLabel=1.0, beta=1.0,
     )
     val_clean = val.select(*FEATURE_COLS, label_col).na.fill(0)
     results = []

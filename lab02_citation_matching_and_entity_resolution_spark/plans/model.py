@@ -49,10 +49,20 @@ def binpack_split_map(
     pinned_test: tuple = (),
     pinned_val: tuple = (),
 ) -> DataFrame:
-    """Reference-style greedy row-count bin-packing split map
-    (ref: src/match_utils.py:757-842): pinned (manual) groups are assigned
-    first, then groups are taken largest-first into test/val until each bin
-    reaches its row-count target (~12.5% by default); everything else trains.
+    """Greedy row-count bin-packing split map: pinned (manual) groups are
+    assigned first, then groups are taken largest-first into test/val until
+    each bin reaches its row-count target (~12.5% by default); everything
+    else trains.
+
+    This is an APPROXIMATION of the reference's row-count targeting, not its
+    selection rule: the reference (ref: src/match_utils.py:757-842) picks at
+    most ONE manual group plus ONE closest-to-target auto group per split
+    (early-stopping at 80% of the target) — implemented faithfully in
+    ``reference_split_map`` below.  This variant instead fills each bin with
+    as many groups as needed to hit the row fraction exactly, which is the
+    better behavior when groups are small relative to the target (the
+    reference's corpora have a handful of huge groups, where one group IS
+    the bin).
 
     Opt-in alternative to the hash-nibble ``group_split_col`` (the scale
     default): this one can pin groups and hit an exact row fraction, at the
@@ -102,6 +112,89 @@ def binpack_split_map(
     return spark.createDataFrame(rows, f"{group_col} {out_type}, partition string")
 
 
+def reference_split_map(
+    df: DataFrame,
+    group_col: str,
+    target_test_frac: float = 0.125,
+    target_val_frac: float = 0.125,
+    manual_groups: tuple = (),
+    test_groups: tuple = (),
+    val_groups: tuple = (),
+) -> DataFrame:
+    """Faithful port of the reference's split selection
+    (ref: src/match_utils.py:757-842): explicit ``test_groups``/``val_groups``
+    win outright; otherwise each split gets at most ONE manual group (largest
+    manual for test, next for val) plus ONE auto group whose addition lands
+    closest to the row-count target, scanning auto groups largest-first and
+    early-stopping once >= 80% of the target is reached.  Everything else
+    trains.  Driver-side over the per-group count aggregate, like
+    ``binpack_split_map`` (same ~10^7-group bound; use ``group_split_col``
+    beyond it).
+    """
+    counts = {
+        r["g"]: r["c"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    total = sum(counts.values())
+    manual_set = set(manual_groups)
+    manual_sorted = sorted(
+        [g for g in manual_set if g in counts],
+        key=lambda g: (-counts[g], str(g)),
+    )
+    auto_sorted = sorted(
+        [g for g in counts if g not in manual_set],
+        key=lambda g: (-counts[g], str(g)),
+    )
+
+    def pick(target_rows: float, seed_manual, taken: set) -> list:
+        chosen = []
+        rows = 0
+        if seed_manual is not None:
+            chosen.append(seed_manual)
+            rows += counts[seed_manual]
+        best_auto, best_diff = None, float("inf")
+        for g in auto_sorted:
+            if g in taken or g in chosen:
+                continue
+            cand = rows + counts[g]
+            diff = abs(cand - target_rows)
+            if diff < best_diff:
+                best_diff = diff
+                best_auto = g
+                if cand >= target_rows * 0.8:
+                    break
+        if best_auto is not None:
+            chosen.append(best_auto)
+        elif not chosen and auto_sorted:
+            for g in auto_sorted:
+                if g not in taken:
+                    chosen.append(g)
+                    break
+        return chosen
+
+    test_ids = list(test_groups)
+    if not test_ids:
+        seed = manual_sorted[0] if manual_sorted else None
+        test_ids = pick(int(total * target_test_frac), seed, set())
+    val_ids = list(val_groups)
+    if not val_ids:
+        if len(manual_sorted) > 1 and manual_sorted[1] not in test_ids:
+            seed = manual_sorted[1]
+        elif manual_sorted and manual_sorted[0] not in test_ids:
+            seed = manual_sorted[0]
+        else:
+            seed = None
+        val_ids = pick(int(total * target_val_frac), seed, set(test_ids))
+    rows = [(g, "test") for g in sorted(test_ids, key=str) if g in counts] + [
+        (g, "val") for g in sorted(val_ids, key=str) if g in counts and g not in test_ids
+    ]
+    spark = df.sparkSession
+    out_type = df.select(F.col(group_col)).schema.fields[0].dataType.simpleString()
+    return spark.createDataFrame(rows, f"{group_col} {out_type}, partition string")
+
+
 def binpack_group_split(
     df: DataFrame,
     group_col: str,
@@ -120,20 +213,52 @@ def binpack_group_split(
     )
 
 
-def attach_labels(feature_pairs: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
+def attach_labels(
+    feature_pairs: DataFrame,
+    labeled_pairs: DataFrame,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """Join ground-truth labels onto the feature frame (canonical ids).
 
-    RIGHT join: every labeled pair survives.  A labeled pair that blocking
-    never produced gets all-zero features — which is exactly what it is (no
-    blocking key fired, no similarity evidence), and is how the negative
-    class reaches the trainer at all: blocking correctly refuses to pair
-    different entities, so an inner join would starve training of label-0
-    rows (round 1 did precisely that — single-class fits)."""
-    joined = feature_pairs.join(
-        labeled_pairs.select("left_id", "right_id", "label"),
+    Every labeled pair survives.  For labeled pairs blocking never produced:
+
+    - ``docs`` given (assemble_documents output): REAL features are computed
+      for the missing pairs via pair_features and unioned in — the
+      reference's behavior, which featurizes every labeled pair directly and
+      independently of blocking (ref: src/feature_engineering_utils.py
+      compute_features).  This is the correct mode for training.
+    - ``docs`` None: label-0 misses are zero-filled (no blocking key fired,
+      no similarity evidence — exactly what a non-match looks like, and how
+      the negative class reaches the trainer at all), but label-1 misses are
+      DROPPED with a warning: a positive label glued to fabricated all-zero
+      features is a contradictory training row (round-2 ADVICE), not
+      evidence.
+    """
+    lab = labeled_pairs.select("left_id", "right_id", "label")
+    matched = feature_pairs.join(lab, ["left_id", "right_id"], "inner")
+    missing = lab.join(
+        feature_pairs.select("left_id", "right_id"),
         ["left_id", "right_id"],
-        "right",
+        "left_anti",
     )
+    if docs is not None:
+        from ..operators.features import pair_features
+
+        miss_feat = pair_features(missing, docs)
+        joined = matched.unionByName(miss_feat, allowMissingColumns=True)
+    else:
+        import warnings
+
+        warnings.warn(
+            "attach_labels without docs: labeled POSITIVE pairs that blocking "
+            "missed are dropped (zero-filled features would contradict the "
+            "label); pass docs= to featurize them for real.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        joined = matched.unionByName(
+            missing.where(F.col("label") == 0), allowMissingColumns=True
+        )
     return joined.na.fill(0.0, subset=[c for c in FEATURE_COLS if c in joined.columns])
 
 
@@ -198,12 +323,15 @@ def train_and_evaluate(
     model_family: str = "logistic",
     tune: bool = False,
     grid: tuple[dict, ...] | None = None,
+    docs: DataFrame | None = None,
 ) -> ModelResult:
     """model_family: "logistic" (north-star default) or "rf" (the reference's
     RandomForest, ref: src/modeling_utils.py:255-260).  tune=True grid-searches
     on the predefined train/val split (reference GridSearchCV+PredefinedSplit,
-    :207-281) instead of a single fit."""
-    data = attach_labels(feature_pairs, labeled_pairs).withColumn(
+    :207-281) instead of a single fit.  Pass ``docs`` (assemble_documents
+    output) so labeled pairs blocking missed get real features, not zeros —
+    see attach_labels."""
+    data = attach_labels(feature_pairs, labeled_pairs, docs=docs).withColumn(
         "partition", group_split_col("left_id")
     ).persist()
 

@@ -124,8 +124,11 @@ def test_rf_tuning_beats_or_matches_untuned(spark, feature_pairs):
         untuned_params,
         {"num_trees": 30, "max_depth": 8, "min_instances_per_node": 1},
     )
+    # positive-class F1 — the metric tune_model itself optimizes (sklearn
+    # scoring='f1' parity; weighted multiclass F1 was the round-2 ADVICE bug)
     ev = MulticlassClassificationEvaluator(
-        labelCol="label", predictionCol="prediction", metricName="f1"
+        labelCol="label", predictionCol="prediction",
+        metricName="fMeasureByLabel", metricLabel=1.0, beta=1.0,
     )
     val_clean = val.select(*FEATURE_COLS, "label").na.fill(0)
     f1_untuned = ev.evaluate(
@@ -228,3 +231,178 @@ def test_binpack_deterministic(spark):
     a = sorted(map(tuple, binpack_split_map(df, "gid").collect()))
     b = sorted(map(tuple, binpack_split_map(df.repartition(7), "gid").collect()))
     assert a == b
+
+
+def test_attach_labels_unblocked_positive_gets_real_features(spark, feature_pairs):
+    """Round-2 ADVICE: a labeled positive that blocking missed must NOT train
+    as an all-zero feature row. With docs, it gets real features; without
+    docs it is dropped (and negatives stay zero-filled)."""
+    import warnings as _w
+
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+
+    tr = transcripts_df(spark, CFG)
+    docs = assemble_documents(tr).persist()
+    # find a doc pair that blocking did NOT produce (anti-join over a small
+    # candidate cross of the first few ids)
+    some = docs.select("conv_id").orderBy("conv_id").limit(10)
+    cand = (
+        some.select(F.col("conv_id").alias("left_id"))
+        .crossJoin(some.select(F.col("conv_id").alias("right_id")))
+        .where(F.col("left_id") < F.col("right_id"))
+    )
+    unblocked = (
+        cand.join(
+            feature_pairs.select("left_id", "right_id"),
+            ["left_id", "right_id"],
+            "left_anti",
+        )
+        .orderBy("left_id", "right_id")
+        .limit(1)
+        .collect()
+    )
+    assert unblocked, "corpus too dense to find an unblocked pair"
+    ids = [unblocked[0]["left_id"], unblocked[0]["right_id"]]
+    existing = feature_pairs.select("left_id", "right_id").limit(1).collect()[0]
+    fabricated = spark.createDataFrame(
+        [
+            (existing["left_id"], existing["right_id"], 1),   # blocked pair
+            (ids[0], ids[1], 1),                               # unblocked positive
+            (ids[1], ids[0], 0),                               # unblocked negative
+        ],
+        "left_id string, right_id string, label int",
+    )
+
+    with_docs = attach_labels(feature_pairs, fabricated, docs=docs)
+    pos = with_docs.where(
+        (F.col("left_id") == ids[0]) & (F.col("right_id") == ids[1])
+    ).collect()
+    assert len(pos) == 1
+    # real features: identical docs never happen here, but levenshtein/jaccard
+    # are computed from the actual texts — at least one must be non-zero
+    # (both docs share corpus boilerplate tokens)
+    feats = [pos[0][c] for c in ("jaccard", "char_ngram_3", "levenshtein")]
+    assert any(v is not None and v > 0 for v in feats), feats
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        without = attach_labels(feature_pairs, fabricated)
+        assert any("dropped" in str(x.message) for x in rec)
+    assert (
+        without.where(
+            (F.col("left_id") == ids[0]) & (F.col("right_id") == ids[1])
+        ).count()
+        == 0
+    ), "unblocked positive must be dropped without docs"
+    neg = without.where(
+        (F.col("left_id") == ids[1]) & (F.col("right_id") == ids[0])
+    ).collect()
+    assert len(neg) == 1 and neg[0]["jaccard"] == 0.0
+
+
+def test_random_search_deterministic_and_competitive(spark, feature_pairs):
+    """Optuna-analog mode (reference notebooks/modeling.ipynb cell 12): a
+    seeded random subsample of the grid, deterministic under seed, and when
+    n_trials covers the grid it must equal the full grid search."""
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        tune_model,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    data = (
+        attach_labels(feature_pairs, labeled)
+        .withColumn("partition", group_split_col("left_id"))
+        .persist()
+    )
+    train = data.where("partition = 'train'")
+    val = data.where("partition = 'val'")
+    grid = (
+        {"num_trees": 3, "max_depth": 2, "min_instances_per_node": 4},
+        {"num_trees": 20, "max_depth": 8, "min_instances_per_node": 1},
+        {"num_trees": 10, "max_depth": 5, "min_instances_per_node": 2},
+    )
+    _, gp, gres = tune_model(train, val, family="rf", grid=grid)
+    _, rp, rres = tune_model(
+        train, val, family="rf", grid=grid, search="random", n_trials=3, seed=7
+    )
+    assert rp == gp  # full coverage -> same winner
+    _, rp2a, r2a = tune_model(
+        train, val, family="rf", grid=grid, search="random", n_trials=2, seed=7
+    )
+    _, rp2b, r2b = tune_model(
+        train, val, family="rf", grid=grid, search="random", n_trials=2, seed=7
+    )
+    assert [p for p, _ in r2a] == [p for p, _ in r2b]  # seed-deterministic
+    assert len(r2a) == 2
+    best_grid_f1 = max(f1 for _, f1 in gres)
+    best_rand_f1 = max(f1 for _, f1 in r2a)
+    assert best_rand_f1 >= best_grid_f1 - 0.15  # competitive, not crippled
+
+
+def test_balanced_class_weights_fit(spark, feature_pairs):
+    """class_weight='balanced' emulation via weightCol (round-2 ADVICE): the
+    weighted fit must run and still separate the planted duplicates."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        fit_random_forest,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    data = (
+        attach_labels(feature_pairs, labeled)
+        .withColumn("partition", group_split_col("left_id"))
+        .persist()
+    )
+    train = data.where("partition = 'train'")
+    test = data.where("partition = 'test'").select(*FEATURE_COLS, "label").na.fill(0)
+    m = fit_random_forest(
+        train, num_trees=20, max_depth=8, balance_classes=True
+    )
+    ev = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction",
+        metricName="fMeasureByLabel", metricLabel=1.0, beta=1.0,
+    )
+    assert ev.evaluate(m.transform(test)) >= 0.9
+
+
+def test_reference_split_map_rule(spark):
+    """Faithful reference selection (match_utils.py:757-842): at most one
+    manual + one closest-to-target auto group per split, 80% early-stop."""
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        reference_split_map,
+    )
+
+    # groups: m1=100 (manual), m2=80 (manual), a1=50, a2=30, a3=20, a4=10
+    rows = []
+    for g, c in [("m1", 100), ("m2", 80), ("a1", 50), ("a2", 30), ("a3", 20), ("a4", 10)]:
+        rows += [(g, i) for i in range(c)]
+    df = spark.createDataFrame(rows, "gid string, i int")
+    # total=290; targets 12.5% -> 36 rows each
+    m = reference_split_map(df, "gid", manual_groups=("m1", "m2"))
+    got = {r["gid"]: r["partition"] for r in m.collect()}
+    # test: seed m1 (largest manual, 100 rows >= 0.8*36 already? no — the
+    # 80% early-stop applies to the AUTO scan: first auto a1 gives 150,
+    # |150-36|=114; a2 -> 130 diff 94; a3 -> 120 diff 84; a4 -> 110 diff 74,
+    # never >= 28.8? candidate_rows always >= 110 >= 28.8 -> break at a1.
+    assert got["m1"] == "test" and got["a1"] == "test"
+    # val: seed m2 (80 rows); auto scan skips taken; a2 first -> break
+    assert got["m2"] == "val" and got["a2"] == "val"
+    assert set(got.values()) == {"test", "val"}
+    assert len([g for g, p in got.items() if p == "test"]) == 2
+    assert len([g for g, p in got.items() if p == "val"]) == 2
+    # explicit groups win outright
+    m2 = reference_split_map(df, "gid", test_groups=("a4",), val_groups=("a3",))
+    got2 = {r["gid"]: r["partition"] for r in m2.collect()}
+    assert got2 == {"a4": "test", "a3": "val"}
