@@ -31,6 +31,13 @@ N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "6000"))
 # stage 18x apart hours apart under load — min-of-N is the noise defense
 # (same harness discipline as BENCH/scaling.py)
 LEGS = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
+# sustained leg: the same score stage over the corpus replicated MULT times
+# with disjoint ids (~5.2M pairs at the defaults) — witnesses the
+# large-corpus sustained rate (round-2 BENCH/BASELINE.md measured 5.56M
+# pairs via a full n_base=24000 prep; replication reproduces that pair
+# volume without paying 4x synth/assemble/blocking inside the driver's
+# budget).  One leg, run after the sprint; 0 disables.
+SUSTAINED_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_MULT", "6"))
 
 
 def _force(df) -> int:
@@ -101,6 +108,36 @@ def main() -> None:
     timings["score_pairs"] = round(score_sec, 3)
     pairs_per_sec = n_pairs / score_sec if score_sec > 0 else 0.0
 
+    sustained = None
+    if SUSTAINED_MULT > 1:
+        rep = spark.range(SUSTAINED_MULT).select(F.col("id").alias("_rep"))
+
+        def suffixed(df, cols):
+            out = df.crossJoin(F.broadcast(rep))
+            for c in cols:
+                out = out.withColumn(c, F.concat_ws("#", F.col(c), F.col("_rep")))
+            return out.drop("_rep")
+
+        docs_big = suffixed(docs, ["conv_id"]).persist()
+        pairs_big = suffixed(pairs, ["left_id", "right_id"]).persist()
+        n_big = pairs_big.count()
+        docs_big.count()
+        t0 = time.time()
+        scored_big = score_pairs_rule(
+            pair_tfidf_cosine(pair_features(pairs_big, docs_big), docs_big)
+        )
+        _force(scored_big.select("left_id", "right_id", "score"))
+        sus_sec = time.time() - t0
+        sustained = {
+            "n_pairs": n_big,
+            "sec": round(sus_sec, 3),
+            "pairs_per_sec": round(n_big / sus_sec, 1) if sus_sec > 0 else 0.0,
+            "mult": SUSTAINED_MULT,
+        }
+        timings["score_pairs_sustained"] = round(sus_sec, 3)
+        docs_big.unpersist()
+        pairs_big.unpersist()
+
     # ---- operator library on the driver's tables ----
     for name in ["a5_sum_rollups", "j1_blocked_all_pairs", "w3_topk_per_group",
                  "m1_skew_cap", "a6_doc_freq_idf"]:
@@ -138,6 +175,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "n_pairs_scored": n_pairs,
                 "score_legs_sec": [round(t, 3) for t in leg_times],
+                "sustained": sustained,
                 "n_base": N_BASE,
                 "total_sec": total,
                 "cpus": CPUS,

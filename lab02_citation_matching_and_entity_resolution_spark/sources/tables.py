@@ -76,6 +76,45 @@ class TableStore:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
+    def merge_upsert(self, df: DataFrame, name: str, key_cols: list[str]):
+        """M8 MERGE semantics — per-key upsert, not append (the reference
+        UPDATES existing per-paper pred.json files in place,
+        ref: src/modeling_utils.py:391-481).
+
+        Iceberg (the scale path): a real MERGE INTO — matched keys update,
+        new keys insert; snapshot-isolated, no table rewrite.
+
+        Parquet fallback: keep = existing ANTI-JOIN updates on key, result =
+        keep UNION updates, written to a sibling tmp dir then atomically
+        swapped in (reading lazily from the same path being overwritten
+        would corrupt the table).  This rewrites the table — fine for the
+        sandbox, documented as the reason Iceberg is the 100 TB substrate.
+        """
+        if self._use_iceberg():
+            view = f"_merge_src_{name}"
+            df.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {self.catalog}.{name} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        if not self.exists(name):
+            df.write.mode("overwrite").parquet(self._path(name))
+            return
+        import shutil
+        import uuid
+
+        existing = self.spark.read.parquet(self._path(name))
+        keep = existing.join(df.select(*key_cols), key_cols, "left_anti")
+        result = keep.unionByName(df)
+        tmp = self._path(f"{name}.__merge_{uuid.uuid4().hex[:8]}")
+        result.write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]):
         """Replace only the partitions present in ``df`` — the resume
         substrate (Iceberg overwritePartitions / dynamic parquet overwrite)."""

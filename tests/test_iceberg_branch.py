@@ -74,3 +74,21 @@ def test_catalog_configured_but_unavailable_falls_back(spark, tmp_path):
     store.append(df, "t")
     df.writeTo.assert_not_called()
     df.write.mode.assert_called_once_with("append")
+
+
+def test_iceberg_merge_upsert_issues_merge_into(spark):
+    """M8 on a configured catalog must be a real MERGE INTO (update-or-insert
+    by key), never the parquet rewrite."""
+    fake = _fake_spark_with_catalog()
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+    store.merge_upsert(df, "predictions", key_cols=["left_id"])
+    df.createOrReplaceTempView.assert_called_once()
+    view = df.createOrReplaceTempView.call_args[0][0]
+    sql = fake.sql.call_args[0][0]
+    assert "MERGE INTO er.predictions t" in sql
+    assert f"USING {view} s" in sql
+    assert "t.left_id = s.left_id" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    df.write.mode.assert_not_called()
