@@ -62,8 +62,15 @@ from lab02_citation_matching_and_entity_resolution_spark.operators.features impo
 from lab02_citation_matching_and_entity_resolution_spark.operators.tfidf import pair_tfidf_cosine
 from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import score_pairs_rule
 
+# sweep knobs (round-3): shuffle-partition factor and Arrow batch size —
+# the fixed ~32s small-corpus overhead pointed at scheduling/Arrow-init, so
+# the retest sweeps these on the small-core legs
+sp_mult = float(os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE_MULT", "2"))
+sp_min = int(os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE_MIN", "16"))
+arrow_batch = int(os.environ.get("SPARK_GRAFT_SCALING_ARROW_BATCH", "10000"))
 spark = get_spark(app_name=f"er-scale-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=max(cores * 2, 16))
+                  shuffle_partitions=max(int(cores * sp_mult), sp_min))
+spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(os.path.join(data_dir, "docs")).persist(); docs.count()
 pairs = spark.read.parquet(os.path.join(data_dir, "pairs")).persist()

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# minimal per-language stopword seeds for the n-gram/stopword-hit heuristic
+# stopword seeds kept for quality_score's stop_ratio feature (en only)
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
@@ -20,30 +20,79 @@ _LANG_STOPWORDS = {
     "es": ["el", "la", "los", "y", "es", "no", "una", "para", "que", "en"],
 }
 
-
-def _hits(tokens_col: F.Column, words: list[str]) -> F.Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.array_intersect(tokens_col, arr))
+# 10-language frequency profiles for language ID: the most frequent function
+# words per language, INTEGER weights descending by corpus rank (integers
+# keep the per-doc score sum bit-exact across engines — no float ordering).
+# A token occurring k times contributes k * weight; ambiguous words ("de",
+# "la", "en", ...) legitimately appear in several profiles with
+# language-specific weights, which is exactly what a frequency profile is.
+_LANG_PROFILES: dict[str, dict[str, int]] = {
+    "en": {"the": 14, "and": 13, "of": 12, "to": 11, "in": 10, "is": 9,
+           "that": 8, "it": 7, "for": 6, "was": 5, "on": 4, "with": 3,
+           "as": 2, "at": 1},
+    "de": {"der": 14, "die": 13, "und": 12, "das": 11, "ist": 10, "nicht": 9,
+           "ein": 8, "mit": 7, "für": 6, "von": 5, "zu": 4, "den": 3,
+           "sich": 2, "auf": 1},
+    "fr": {"le": 14, "la": 13, "les": 12, "et": 11, "est": 10, "pas": 9,
+           "une": 8, "pour": 7, "que": 6, "dans": 5, "de": 4, "il": 3,
+           "qui": 2, "ne": 1},
+    "es": {"el": 14, "la": 13, "los": 12, "y": 11, "es": 10, "no": 9,
+           "una": 8, "para": 7, "que": 6, "en": 5, "de": 4, "se": 3,
+           "del": 2, "las": 1},
+    "it": {"il": 14, "la": 13, "di": 12, "e": 11, "che": 10, "non": 9,
+           "un": 8, "per": 7, "una": 6, "in": 5, "si": 4, "le": 3,
+           "con": 2, "del": 1},
+    "pt": {"o": 14, "a": 13, "de": 12, "que": 11, "e": 10, "não": 9,
+           "um": 8, "para": 7, "com": 6, "os": 5, "do": 4, "da": 3,
+           "em": 2, "se": 1},
+    "nl": {"de": 14, "het": 13, "een": 12, "en": 11, "van": 10, "is": 9,
+           "niet": 8, "dat": 7, "op": 6, "te": 5, "zijn": 4, "voor": 3,
+           "met": 2, "ik": 1},
+    "sv": {"och": 14, "att": 13, "det": 12, "som": 11, "en": 10, "på": 9,
+           "är": 8, "av": 7, "för": 6, "med": 5, "den": 4, "till": 3,
+           "inte": 2, "har": 1},
+    "pl": {"i": 14, "w": 13, "nie": 12, "się": 11, "na": 10, "to": 9,
+           "że": 8, "z": 7, "do": 6, "jest": 5, "o": 4, "jak": 3,
+           "po": 2, "tak": 1},
+    "tr": {"bir": 14, "ve": 13, "bu": 12, "da": 11, "ne": 10, "için": 9,
+           "çok": 8, "ama": 7, "gibi": 6, "daha": 5, "o": 4, "var": 3,
+           "ben": 2, "mi": 1},
+}
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Best-stopword-hit language guess; 'und' (undetermined) when no hits."""
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    """Weighted frequency-profile language guess over 10 languages.
+
+    Per language: score = sum over token OCCURRENCES of that token's profile
+    weight (a literal map lookup folded over the token array — one pass per
+    language, no shuffle, no UDF, whole-stage codegen).  Guess = first
+    language reaching the max score in profile declaration order; 'und' when
+    every score is 0.  Integer weights keep the scores engine-exact (the
+    DuckDB oracle reproduces them bit-for-bit).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
     df = docs.select(F.col(id_col), toks.alias("_toks"))
-    hit_cols = [
-        _hits(F.col("_toks"), words).alias(f"hits_{lang}")
-        for lang, words in _LANG_STOPWORDS.items()
-    ]
-    df = df.select(id_col, *hit_cols)
-    langs = list(_LANG_STOPWORDS)
-    best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
+    score_cols = []
+    for lang, profile in _LANG_PROFILES.items():
+        m = F.create_map(
+            *[F.lit(x) for kv in profile.items() for x in kv]
+        )
+        score = F.aggregate(
+            F.col("_toks"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.coalesce(F.element_at(m, t), F.lit(0)).cast("long"),
+        )
+        score_cols.append(score.alias(f"score_{lang}"))
+    df = df.select(id_col, *score_cols)
+    langs = list(_LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
     guess = F.lit("und")
     # first language achieving the max wins (deterministic order)
     for la in reversed(langs):
         guess = F.when(
-            (F.col(f"hits_{la}") == best) & (best > 0), F.lit(la)
+            (F.col(f"score_{la}") == best) & (best > 0), F.lit(la)
         ).otherwise(guess)
-    return df.select(id_col, *[f"hits_{la}" for la in langs], guess.alias("lang_guess"))
+    return df.select(id_col, *[f"score_{la}" for la in langs], guess.alias("lang_guess"))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

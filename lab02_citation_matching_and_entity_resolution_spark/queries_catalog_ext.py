@@ -372,34 +372,40 @@ def text_token_counts(spark, sf_dir):
 
 
 def _duck_langid_sql() -> str:
-    """DuckDB mirror of textstats.language_id: per-language stopword hits on
-    distinct lowercase tokens, first-max-wins guess in declaration order."""
-    from .operators.textstats import _LANG_STOPWORDS
+    """DuckDB mirror of textstats.language_id: 10-language weighted
+    frequency-profile scores over token OCCURRENCES (integer weights ->
+    bit-exact sums), first-max-wins guess in declaration order."""
+    from .operators.textstats import _LANG_PROFILES
 
-    langs = list(_LANG_STOPWORDS)
-    hit_cols = ",\n         ".join(
-        "len(list_intersect(_toks, ["
-        + ", ".join(f"'{w}'" for w in words)
-        + f"])) AS hits_{la}"
-        for la, words in _LANG_STOPWORDS.items()
+    langs = list(_LANG_PROFILES)
+
+    def case_sum(profile: dict[str, int]) -> str:
+        whens = " ".join(f"WHEN '{w}' THEN {wt}" for w, wt in profile.items())
+        return (
+            "CAST(coalesce(list_sum(list_transform(_toks, "
+            f"t -> CASE t {whens} ELSE 0 END)), 0) AS BIGINT)"
+        )
+
+    score_cols = ",\n         ".join(
+        f"{case_sum(p)} AS score_{la}" for la, p in _LANG_PROFILES.items()
     )
-    best = "GREATEST(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    best = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
     whens = "\n            ".join(
-        f"WHEN hits_{la} = {best} AND {best} > 0 THEN '{la}'" for la in langs
+        f"WHEN score_{la} = {best} AND {best} > 0 THEN '{la}'" for la in langs
     )
-    hits_select = ", ".join(f"hits_{la}" for la in langs)
+    score_select = ", ".join(f"score_{la}" for la in langs)
     return f"""
 WITH t AS (
   SELECT doc_id,
-         list_distinct(string_split_regex(lower(text), '\\s+')) AS _toks
+         string_split_regex(lower(text), '\\s+') AS _toks
   FROM documents
 ),
 h AS (
   SELECT doc_id,
-         {hit_cols}
+         {score_cols}
   FROM t
 )
-SELECT doc_id, {hits_select},
+SELECT doc_id, {score_select},
        CASE {whens}
             ELSE 'und' END AS lang_guess
 FROM h
@@ -407,7 +413,8 @@ FROM h
 
 
 @q("text_language_id", _duck_langid_sql(),
-   "stopword-hit language ID heuristic (full oracle: hit counts + guess)")
+   "10-language weighted frequency-profile language ID "
+   "(full oracle: integer scores + guess)")
 def text_language_id(spark, sf_dir):
     return textstats.language_id(T(spark, sf_dir, "documents"))
 

@@ -263,3 +263,28 @@ def test_minhash_cap_ranking_is_engine_portable(spark, tmp_path):
     sql = q_minhash_pairs_sql.replace("<= 1000", "<= 5")
     want = {(int(a), int(b)) for a, b in con.sql(sql).fetchall()}
     assert got == want and len(got) == 10
+
+
+def test_language_id_ten_language_profiles(spark):
+    """The profile scorer must identify languages beyond the old 4 and weigh
+    OCCURRENCES (not distinct hits)."""
+    rows = [
+        (10, "il gatto non è sul tavolo che di solito usa per dormire"),
+        (11, "o gato não está na mesa que ele usa para dormir com os outros"),
+        (12, "de kat is niet op de tafel dat hij voor het slapen gebruikt"),
+        (13, "och det som en katt på bordet är av den för med"),
+        (14, "zzz qqq xxx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in textstats.language_id(docs).collect()}
+    assert got[10] == "it"
+    assert got[11] == "pt"
+    assert got[12] == "nl"
+    assert got[13] == "sv"
+    assert got[14] == "und"
+    # occurrences weigh: "the the the" (3x14) must beat one-each "and of"
+    d2 = spark.createDataFrame(
+        [(1, "the the the"), (2, "and of")], "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r["score_en"] for r in textstats.language_id(d2).collect()}
+    assert s[1] == 42 and s[2] == 25
