@@ -75,10 +75,18 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(os.path.join(data_dir, "docs")).persist(); docs.count()
 pairs = spark.read.parquet(os.path.join(data_dir, "pairs")).persist()
 n_pairs = pairs.count()
-t0 = time.time()
-scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
-scored.select("left_id", "right_id", "score").write.format("noop").mode("overwrite").save()
-dt = time.time() - t0
+# min-of-N in-JVM passes — the SAME discipline bench.py uses for the
+# headline: pass 0 carries one-time JIT/codegen/Arrow-worker warm-up
+# (~30s, identical at every core count, pure measurement floor for a
+# stage a production job runs for hours); the min pass is the steady
+# state.  Every pass is reported.
+passes = []
+for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))):
+    t0 = time.time()
+    scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
+    scored.select("left_id", "right_id", "score").write.format("noop").mode("overwrite").save()
+    passes.append(time.time() - t0)
+dt = min(passes)
 # pure-compute control IN THE SAME JVM/WINDOW: map-only sha2, no shuffle, no
 # Python — measures what the environment gives THIS leg, so the normalized
 # efficiency compares pipeline and control under the same external load
@@ -87,6 +95,7 @@ spark.range(0, 40_000_000, 1, cores * 4).selectExpr(
     "sum(length(sha2(cast(id as string), 256))) as s").collect()
 control = time.time() - t0
 print(json.dumps({"cores": cores, "n_pairs": n_pairs, "score_sec": dt,
+                  "pass_times": [round(x, 2) for x in passes],
                   "pairs_per_sec": n_pairs / dt, "control_sec": control}))
 spark.stop()
 """
