@@ -100,3 +100,35 @@ def test_exchange_count_blocking_token_pass(spark):
     # expected: 1 shuffle for groupBy(conv_id) assembly, 1 for the window cap
     # on block_key (both join sides reuse that partitioning)
     assert n_exchange <= 4, tree
+
+
+def test_language_id_stays_jvm_side(spark, sf_dir):
+    """The 10-language profile scorer runs over every document at corpus
+    scale: its plan must contain no Python/Arrow stage and no exchange
+    (pure per-row projection -> narrow, codegen-able)."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.textstats import (
+        language_id,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(language_id(docs))
+    assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEvalPython
+    assert "Exchange" not in plan, plan  # narrow: no shuffle for a projection
+
+
+def test_dedup_cap_adds_single_exchange(spark):
+    """The md5-ranked block cap is one window over the block key: capped
+    minhash banding must add exactly one extra Exchange vs uncapped (the
+    row_number partitioning), not a plan blowup."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} with shared tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, n_hashes=8, shingle_n=4)
+    uncapped = _plan(dedup.minhash_band_pairs(sigs, n_hashes=8, bands=4, band_cap=None))
+    capped = _plan(dedup.minhash_band_pairs(sigs, n_hashes=8, bands=4, band_cap=10))
+    n_unc = uncapped.count("Exchange")
+    n_cap = capped.count("Exchange")
+    assert n_cap <= n_unc + 2, (n_unc, n_cap)  # window partition + its reuse
