@@ -1,0 +1,77 @@
+"""Streaming transcript ingest: file-source stream -> incremental assembly ->
+live documents table, with conversations SPANNING restarts (the checkpoint
+contract) and batch/stream parity (same assemble_documents semantics)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+    assemble_documents,
+)
+from lab02_citation_matching_and_entity_resolution_spark.sources.tables import TableStore
+from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+    read_transcript_stream,
+    start_ingest,
+)
+
+
+def _write_turns(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+TURNS_A = [
+    {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "Hello there agent", "tool": None, "ts": "2026-01-01T10:00:00"},
+    {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "Hi, how can I help", "tool": None, "ts": "2026-01-01T10:00:05"},
+    {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "Resolve these entities", "tool": "resolver", "ts": "2026-01-01T11:00:00"},
+]
+TURNS_B = [
+    # c1 continues in a LATER file: the incremental path must re-assemble it
+    {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "Thanks for the help", "tool": None, "ts": "2026-01-01T10:01:00"},
+    {"conv_id": "c3", "turn_idx": 0, "role": "user", "text": "A brand new conversation", "tool": None, "ts": "2026-01-01T12:00:00"},
+]
+
+
+def _run_drain(spark, src, store, ckpt):
+    q = start_ingest(read_transcript_stream(spark, src), store, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_ingest_incremental_and_restart_safe(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(spark, str(tmp_path / "tables"))
+
+    _write_turns(src, "batch_a.jsonl", TURNS_A)
+    _run_drain(spark, src, store, ckpt)
+    docs1 = {r["conv_id"]: r for r in store.read("documents_live").collect()}
+    assert set(docs1) == {"c1", "c2"}
+    assert docs1["c1"]["n_turns"] == 2
+
+    # second arrival: c1 grows, c3 appears; restart the query from checkpoint
+    _write_turns(src, "batch_b.jsonl", TURNS_B)
+    _run_drain(spark, src, store, ckpt)
+    docs2 = {r["conv_id"]: r for r in store.read("documents_live").collect()}
+    assert set(docs2) == {"c1", "c2", "c3"}
+    assert docs2["c1"]["n_turns"] == 3          # re-assembled, not duplicated
+    assert docs2["c2"]["doc_text"] == docs1["c2"]["doc_text"]  # untouched conv survives
+
+    # stream/batch parity: the live table must equal assemble_documents over
+    # the full batch input (same code path, same semantics)
+    all_turns = spark.createDataFrame(
+        [tuple(r.values()) for r in TURNS_A + TURNS_B],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = {r["conv_id"]: r for r in assemble_documents(all_turns).collect()}
+    for cid, row in expected.items():
+        assert docs2[cid]["doc_text"] == row["doc_text"], cid
+        assert docs2[cid]["n_turns"] == row["n_turns"], cid
+
+    # checkpoint really is the dedup: a third drain with NO new files is a no-op
+    _run_drain(spark, src, store, ckpt)
+    assert store.read("turns_raw").count() == len(TURNS_A + TURNS_B)
