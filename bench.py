@@ -32,12 +32,17 @@ N_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "6000"))
 # (same harness discipline as BENCH/scaling.py)
 LEGS = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
 # sustained leg: the same score stage over the corpus replicated MULT times
-# with disjoint ids (~5.2M pairs at the defaults) — witnesses the
+# with disjoint ids (~3.4M pairs at the defaults) — witnesses the
 # large-corpus sustained rate (round-2 BENCH/BASELINE.md measured 5.56M
 # pairs via a full n_base=24000 prep; replication reproduces that pair
 # volume without paying 4x synth/assemble/blocking inside the driver's
-# budget).  One leg, run after the sprint; 0 disables.
-SUSTAINED_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_MULT", "6"))
+# budget).  One leg, run after the sprint; 0 disables.  The leg is SKIPPED
+# (with the reason recorded in the JSON) when the sprint phase already ran
+# past SUSTAINED_DEADLINE seconds — external load on this shared box swings
+# ~2x, and a bench that never prints its JSON line is worse than one
+# without the sustained number.
+SUSTAINED_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_MULT", "4"))
+SUSTAINED_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_DEADLINE", "210"))
 
 
 def _force(df) -> int:
@@ -79,6 +84,7 @@ def main() -> None:
                       shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
+    t_bench_start = time.time()
     timings: dict[str, float] = {}
 
     # ---- headline: ER scoring throughput over synthetic transcripts ----
@@ -109,7 +115,14 @@ def main() -> None:
     pairs_per_sec = n_pairs / score_sec if score_sec > 0 else 0.0
 
     sustained = None
-    if SUSTAINED_MULT > 1:
+    elapsed = time.time() - t_bench_start
+    if SUSTAINED_MULT > 1 and elapsed > SUSTAINED_DEADLINE:
+        sustained = {
+            "skipped": f"sprint phase took {round(elapsed, 1)}s "
+                       f"> deadline {SUSTAINED_DEADLINE}s (loaded box)",
+            "mult": SUSTAINED_MULT,
+        }
+    elif SUSTAINED_MULT > 1:
         rep = spark.range(SUSTAINED_MULT).select(F.col("id").alias("_rep"))
 
         def suffixed(df, cols):
