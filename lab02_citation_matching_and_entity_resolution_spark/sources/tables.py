@@ -109,11 +109,17 @@ class TableStore:
         existing = self.spark.read.parquet(self._path(name))
         keep = existing.join(df.select(*key_cols), key_cols, "left_anti")
         result = keep.unionByName(df)
-        tmp = self._path(f"{name}.__merge_{uuid.uuid4().hex[:8]}")
+        token = uuid.uuid4().hex[:8]
+        tmp = self._path(f"{name}.__merge_{token}")
         result.write.mode("overwrite").parquet(tmp)
         final = self._path(name)
-        shutil.rmtree(final)
+        # two renames, never a window with no table: old -> trash, tmp ->
+        # final, then drop trash.  A crash leaves either the old or the new
+        # table in place (plus at worst an orphan dir), never neither.
+        trash = self._path(f"{name}.__old_{token}")
+        os.replace(final, trash)
         os.replace(tmp, final)
+        shutil.rmtree(trash)
 
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]):
         """Replace only the partitions present in ``df`` — the resume
