@@ -288,3 +288,40 @@ def test_language_id_ten_language_profiles(spark):
     )
     s = {r["doc_id"]: r["score_en"] for r in textstats.language_id(d2).collect()}
     assert s[1] == 42 and s[2] == 25
+
+
+def test_embedding_near_dup_ivf_blocked_scale_path(spark):
+    """The documented 100 TB path for embedding near-dup: block by IVF cell
+    (ann.assign_cells) instead of a full O(n^2) scan.  Must find the planted
+    within-cluster near-dups whose members share a cell, be a subset of the
+    exhaustive result, and keep the join cell-local (no cartesian product
+    between the vector sides)."""
+    rows = []
+    for c in range(4):
+        base = [1.0 if i == c else 0.0 for i in range(8)]
+        for j in range(5):
+            rows.append((c * 10 + j, [v + 0.001 * j * (i + 1) for i, v in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ann.seed_centroids(emb, n_cells=4)
+    assigned = ann.assign_cells(emb, cents, n_probe=1)
+    blocked = dedup.embedding_near_dup(
+        assigned, threshold=0.999, block_expr=F.col("cell_id")
+    )
+    got = {(r["left_id"], r["right_id"]) for r in blocked.collect()}
+    full = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.embedding_near_dup(
+            emb, threshold=0.999, allow_full_scan=True
+        ).collect()
+    }
+    assert got, "IVF-blocked near-dup found nothing"
+    assert got <= full
+    # every pair is within one planted cluster (cross-cluster cosine ~0)
+    assert all(l // 10 == r // 10 for l, r in got)
+    # the vector-vector join is cell-local: no cartesian/nested-loop join
+    # between the two vector sides (the centroid broadcast crossJoin in
+    # assign_cells is bounded by n_cells and allowed)
+    plan = blocked._sc._jvm.PythonSQLUtils.explainString(
+        blocked._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
