@@ -190,6 +190,7 @@ def tune_model(
     seed: int = 42,
     search: str = "grid",
     n_trials: int = 30,
+    parallelism: int = 1,
 ):
     """Hyperparameter search with a PREDEFINED train/val split — the
     reference tunes with GridSearchCV over a PredefinedSplit (fit on train
@@ -228,9 +229,8 @@ def tune_model(
         metricName="fMeasureByLabel", metricLabel=1.0, beta=1.0,
     )
     val_clean = val.select(*FEATURE_COLS, label_col).na.fill(0)
-    results = []
-    best = None
-    for params in grid:
+
+    def fit_and_score(params: dict) -> tuple:
         if family == "rf":
             model = fit_random_forest(train, label_col=label_col, seed=seed, **params)
         elif family == "logistic":
@@ -248,8 +248,21 @@ def tune_model(
             )
         else:
             raise ValueError(f"unknown model family {family!r}")
-        f1 = float(evaluator.evaluate(model.transform(val_clean)))
-        results.append((params, f1))
+        return model, float(evaluator.evaluate(model.transform(val_clean)))
+
+    if parallelism > 1:
+        # concurrent Spark jobs from driver threads — the same mechanism
+        # Spark ML CrossValidator's `parallelism` param uses; fits share the
+        # cluster fairly and results stay in trial order
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            fitted = list(pool.map(fit_and_score, grid))
+    else:
+        fitted = [fit_and_score(params) for params in grid]
+    results = [(params, f1) for params, (_, f1) in zip(grid, fitted)]
+    best = None
+    for params, (model, f1) in zip(grid, fitted):
         if best is None or f1 > best[1]:
             best = (model, f1, params)
     return best[0], best[2], results

@@ -406,3 +406,31 @@ def test_reference_split_map_rule(spark):
     m2 = reference_split_map(df, "gid", test_groups=("a4",), val_groups=("a3",))
     got2 = {r["gid"]: r["partition"] for r in m2.collect()}
     assert got2 == {"a4": "test", "a3": "val"}
+
+
+def test_tune_parallelism_matches_sequential(spark, feature_pairs):
+    """parallelism>1 runs fits as concurrent Spark jobs (CrossValidator-style)
+    and must produce the identical results list and winner."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        tune_model,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    data = (
+        attach_labels(feature_pairs, labeled)
+        .withColumn("partition", group_split_col("left_id"))
+        .persist()
+    )
+    train = data.where("partition = 'train'").persist()
+    val = data.where("partition = 'val'")
+    grid = (
+        {"num_trees": 5, "max_depth": 3, "min_instances_per_node": 2},
+        {"num_trees": 15, "max_depth": 6, "min_instances_per_node": 1},
+    )
+    _, p_seq, r_seq = tune_model(train, val, family="rf", grid=grid)
+    _, p_par, r_par = tune_model(train, val, family="rf", grid=grid, parallelism=2)
+    assert p_par == p_seq
+    assert [(p, round(f, 6)) for p, f in r_par] == [(p, round(f, 6)) for p, f in r_seq]
