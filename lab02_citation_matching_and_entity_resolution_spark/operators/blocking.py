@@ -149,7 +149,7 @@ def shingle_expr(text_col: str, n: int) -> F.Column:
     )
 
 
-def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
+def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> tuple[DataFrame, DataFrame]:
     """MinHash-LSH candidate pairs over doc_text char shingles.
 
     Native banded implementation (shingle explode -> salted-min signature ->
@@ -175,19 +175,23 @@ def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
             for i in range(n_hashes)
         ]
     )
-    pairs = minhash_band_pairs(
+    pairs, metrics = minhash_band_pairs(
         sigs,
         n_hashes=n_hashes,
         bands=cfg.minhash_tables,
         id_col="conv_id",
         band_cap=cfg.block_cap,
         cap_seed=cfg.seed,
+        return_metrics=True,
     )
-    return pairs.select(
-        "left_id",
-        "right_id",
-        F.lit("minhash").alias("block_pass"),
-        F.lit("lsh").alias("block_key"),
+    return (
+        pairs.select(
+            "left_id",
+            "right_id",
+            F.lit("minhash").alias("block_pass"),
+            F.lit("lsh").alias("block_key"),
+        ),
+        metrics,
     )
 
 
@@ -209,7 +213,12 @@ def candidate_pairs(docs: DataFrame, cfg: BlockingConfig | None = None) -> tuple
         all_pairs.append(p)
         all_metrics.append(m.withColumn("block_pass", F.lit("signature")))
     if "minhash" in cfg.passes and cfg.minhash_enabled:
-        all_pairs.append(minhash_pass(docs, cfg))
+        p, m = minhash_pass(docs, cfg)
+        all_pairs.append(p)
+        # band-bucket truncation joins the audit frame like every other
+        # skew cap — requesting the metrics also silences the library's
+        # unaudited-cap warning on its own internal hot path
+        all_metrics.append(m.withColumn("block_pass", F.lit("minhash")))
     unioned = all_pairs[0]
     for p in all_pairs[1:]:
         unioned = unioned.unionByName(p)

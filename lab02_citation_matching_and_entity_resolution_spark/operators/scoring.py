@@ -163,7 +163,9 @@ def fit_random_forest(
 #                                    minInstancesPerNode maps to
 #                                    min_samples_leaf, not _split)
 #   class_weight ['balanced','balanced_subsample']
-#                                 -> balance_classes True/False via weightCol
+#                                 -> balance_classes=True via weightCol in
+#                                    EVERY combo: the reference grid never
+#                                    fits an unweighted model
 #                                    ('balanced_subsample' re-weights per
 #                                    bootstrap, which Spark cannot express;
 #                                    both collapse to 'balanced')
@@ -172,12 +174,11 @@ DEFAULT_RF_GRID: tuple[dict, ...] = tuple(
         "num_trees": n,
         "max_depth": d,
         "min_instances_per_node": m,
-        "balance_classes": b,
+        "balance_classes": True,
     }
     for n in (200, 250)
     for d in (15, 20)
     for m in (1, 2)
-    for b in (True, False)
 )
 
 
@@ -250,21 +251,40 @@ def tune_model(
             raise ValueError(f"unknown model family {family!r}")
         return model, float(evaluator.evaluate(model.transform(val_clean)))
 
+    # memory discipline: only the best-so-far model is retained.  A 16-combo
+    # RF grid holds 16 x 250-tree models if every fit stays referenced —
+    # sequential mode streams them, parallel mode scores-then-refits the
+    # winner once (one extra fit buys bounded driver/JVM memory).
     if parallelism > 1:
         # concurrent Spark jobs from driver threads — the same mechanism
         # Spark ML CrossValidator's `parallelism` param uses; fits share the
         # cluster fairly and results stay in trial order
         from concurrent.futures import ThreadPoolExecutor
 
+        def score_only(params: dict) -> float:
+            _, f1 = fit_and_score(params)
+            return f1
+
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
-            fitted = list(pool.map(fit_and_score, grid))
-    else:
-        fitted = [fit_and_score(params) for params in grid]
-    results = [(params, f1) for params, (_, f1) in zip(grid, fitted)]
+            f1s = list(pool.map(score_only, grid))
+        results = list(zip(grid, f1s))
+        best_params = max(zip(grid, f1s), key=lambda pf: pf[1])[0] if grid else None
+        # ties: first in trial order wins, like the sequential path
+        for params, f1 in results:
+            if f1 == max(f1s):
+                best_params = params
+                break
+        best_model, _ = fit_and_score(best_params)
+        return best_model, best_params, results
+    results = []
     best = None
-    for params, (model, f1) in zip(grid, fitted):
+    for params in grid:
+        model, f1 = fit_and_score(params)
+        results.append((params, f1))
         if best is None or f1 > best[1]:
             best = (model, f1, params)
+        else:
+            del model
     return best[0], best[2], results
 
 

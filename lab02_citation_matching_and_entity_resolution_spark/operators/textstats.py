@@ -70,7 +70,10 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     every score is 0.  Integer weights keep the scores engine-exact (the
     DuckDB oracle reproduces them bit-for-bit).
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # NULL text -> empty token array -> all-zero scores + 'und' (matching
+    # the oracle, whose list_sum coalesce would otherwise diverge from a
+    # NULL-propagating aggregate here)
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     df = docs.select(F.col(id_col), toks.alias("_toks"))
     score_cols = []
     for lang, profile in _LANG_PROFILES.items():

@@ -41,6 +41,24 @@ def group_split_col(key_col: str, test_frac_16: int = 2, val_frac_16: int = 2) -
     )
 
 
+def _group_counts(df: DataFrame, group_col: str) -> dict:
+    """Driver-side (group -> row count) map — the same aggregate the
+    reference collects into ``row_counts``; bounded by group cardinality."""
+    return {
+        r["g"]: r["c"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def _split_map_frame(df: DataFrame, group_col: str, rows: list) -> DataFrame:
+    out_type = df.select(F.col(group_col)).schema.fields[0].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        rows, f"{group_col} {out_type}, partition string"
+    )
+
+
 def binpack_split_map(
     df: DataFrame,
     group_col: str,
@@ -75,12 +93,7 @@ def binpack_split_map(
     only — broadcast-join it and default the misses to 'train'
     (``binpack_group_split`` does exactly that).
     """
-    counts = {
-        r["g"]: r["c"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    counts = _group_counts(df, group_col)
     total = sum(counts.values())
     target_test = total * target_test_frac
     target_val = total * target_val_frac
@@ -105,11 +118,8 @@ def binpack_split_map(
         elif val_rows + c <= target_val:
             assigned[g] = "val"
             val_rows += c
-    spark = df.sparkSession
     rows = [(g, p) for g, p in sorted(assigned.items(), key=lambda kv: str(kv[0]))]
-    schema = df.select(F.col(group_col)).schema
-    out_type = schema.fields[0].dataType.simpleString()
-    return spark.createDataFrame(rows, f"{group_col} {out_type}, partition string")
+    return _split_map_frame(df, group_col, rows)
 
 
 def reference_split_map(
@@ -131,12 +141,7 @@ def reference_split_map(
     ``binpack_split_map`` (same ~10^7-group bound; use ``group_split_col``
     beyond it).
     """
-    counts = {
-        r["g"]: r["c"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    counts = _group_counts(df, group_col)
     total = sum(counts.values())
     manual_set = set(manual_groups)
     manual_sorted = sorted(
@@ -177,7 +182,11 @@ def reference_split_map(
     test_ids = list(test_groups)
     if not test_ids:
         seed = manual_sorted[0] if manual_sorted else None
-        test_ids = pick(int(total * target_test_frac), seed, set())
+        # explicitly pinned val groups are off-limits to the test pick (the
+        # reference never faces this: it only auto-selects when BOTH lists
+        # are empty in practice; without the exclusion a pinned val group
+        # could be claimed by test and silently dropped from val)
+        test_ids = pick(int(total * target_test_frac), seed, set(val_groups))
     val_ids = list(val_groups)
     if not val_ids:
         if len(manual_sorted) > 1 and manual_sorted[1] not in test_ids:
@@ -190,9 +199,7 @@ def reference_split_map(
     rows = [(g, "test") for g in sorted(test_ids, key=str) if g in counts] + [
         (g, "val") for g in sorted(val_ids, key=str) if g in counts and g not in test_ids
     ]
-    spark = df.sparkSession
-    out_type = df.select(F.col(group_col)).schema.fields[0].dataType.simpleString()
-    return spark.createDataFrame(rows, f"{group_col} {out_type}, partition string")
+    return _split_map_frame(df, group_col, rows)
 
 
 def binpack_group_split(
@@ -220,22 +227,31 @@ def attach_labels(
 ) -> DataFrame:
     """Join ground-truth labels onto the feature frame (canonical ids).
 
-    Every labeled pair survives.  For labeled pairs blocking never produced:
+    Every labeled pair survives, carrying an ``unblocked`` flag (1 = blocking
+    never produced the pair).  For the unblocked pairs:
 
     - ``docs`` given (assemble_documents output): REAL features are computed
-      for the missing pairs via pair_features and unioned in — the
-      reference's behavior, which featurizes every labeled pair directly and
-      independently of blocking (ref: src/feature_engineering_utils.py
-      compute_features).  This is the correct mode for training.
-    - ``docs`` None: label-0 misses are zero-filled (no blocking key fired,
-      no similarity evidence — exactly what a non-match looks like, and how
-      the negative class reaches the trainer at all), but label-1 misses are
-      DROPPED with a warning: a positive label glued to fabricated all-zero
-      features is a contradictory training row (round-2 ADVICE), not
-      evidence.
+      via pair_features and unioned in — the reference's behavior, which
+      featurizes every labeled pair directly and independently of blocking
+      (ref: src/feature_engineering_utils.py compute_features).  This is the
+      correct mode for training.  Pairs whose ids do not exist in ``docs``
+      at all (stale label files) cannot be featurized and are kept
+      zero-filled with unblocked=1, so the frame never silently loses a
+      labeled pair.
+    - ``docs`` None: unblocked pairs are kept ZERO-FILLED (zero_filled=1).
+      That is honest for label-0 (no blocking key fired, no similarity
+      evidence) and for EVALUATION of label-1 (a positive blocking missed
+      scores ~0 and counts as a false negative — hiding it would inflate
+      recall).  It is contradictory as a TRAINING row for label-1, which is
+      why train_and_evaluate excludes (label=1, zero_filled=1) rows from the
+      train partition only (round-2 ADVICE), with a warning here.
     """
     lab = labeled_pairs.select("left_id", "right_id", "label")
-    matched = feature_pairs.join(lab, ["left_id", "right_id"], "inner")
+    matched = (
+        feature_pairs.join(lab, ["left_id", "right_id"], "inner")
+        .withColumn("unblocked", F.lit(0))
+        .withColumn("zero_filled", F.lit(0))
+    )
     missing = lab.join(
         feature_pairs.select("left_id", "right_id"),
         ["left_id", "right_id"],
@@ -244,20 +260,41 @@ def attach_labels(
     if docs is not None:
         from ..operators.features import pair_features
 
-        miss_feat = pair_features(missing, docs)
-        joined = matched.unionByName(miss_feat, allowMissingColumns=True)
+        miss_feat = (
+            pair_features(missing, docs)
+            .withColumn("unblocked", F.lit(1))
+            .withColumn("zero_filled", F.lit(0))
+        )
+        # ids absent from docs: pair_features' doc joins drop them — keep
+        # them zero-filled so "every labeled pair survives" stays true
+        residual = (
+            missing.join(
+                miss_feat.select("left_id", "right_id"),
+                ["left_id", "right_id"],
+                "left_anti",
+            )
+            .withColumn("unblocked", F.lit(1))
+            .withColumn("zero_filled", F.lit(1))
+        )
+        joined = matched.unionByName(miss_feat, allowMissingColumns=True).unionByName(
+            residual, allowMissingColumns=True
+        )
     else:
         import warnings
 
         warnings.warn(
-            "attach_labels without docs: labeled POSITIVE pairs that blocking "
-            "missed are dropped (zero-filled features would contradict the "
-            "label); pass docs= to featurize them for real.",
+            "attach_labels without docs: labeled pairs blocking missed keep "
+            "zero features (flagged unblocked=1; positives among them are "
+            "excluded from TRAINING by train_and_evaluate but kept for "
+            "evaluation); pass docs= to featurize them for real.",
             RuntimeWarning,
             stacklevel=2,
         )
         joined = matched.unionByName(
-            missing.where(F.col("label") == 0), allowMissingColumns=True
+            missing.withColumn("unblocked", F.lit(1)).withColumn(
+                "zero_filled", F.lit(1)
+            ),
+            allowMissingColumns=True,
         )
     return joined.na.fill(0.0, subset=[c for c in FEATURE_COLS if c in joined.columns])
 
@@ -335,7 +372,14 @@ def train_and_evaluate(
         "partition", group_split_col("left_id")
     ).persist()
 
-    train = data.where(F.col("partition") == "train")
+    # zero-FILLED positives (blocking missed them and no real features could
+    # be computed) are contradictory TRAINING rows; they stay in val/test so
+    # evaluation still counts them as the false negatives they are.
+    # Unblocked positives WITH real features (docs mode) train normally.
+    train = data.where(
+        (F.col("partition") == "train")
+        & ~((F.col("label") == 1) & (F.col("zero_filled") == 1))
+    )
     best_params = None
     tuning_results = None
     if tune:

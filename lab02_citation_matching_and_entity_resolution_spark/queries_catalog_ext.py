@@ -397,7 +397,7 @@ def _duck_langid_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-         string_split_regex(lower(text), '\\s+') AS _toks
+         string_split_regex(lower(coalesce(text, '')), '\\s+') AS _toks
   FROM documents
 ),
 h AS (

@@ -91,6 +91,11 @@ class TableStore:
         sandbox, documented as the reason Iceberg is the 100 TB substrate.
         """
         if self._use_iceberg():
+            if not self.exists(name):
+                # first upsert bootstraps the table (MERGE INTO on a
+                # non-existent table is an AnalysisException)
+                df.writeTo(f"{self.catalog}.{name}").using("iceberg").create()
+                return
             view = f"_merge_src_{name}"
             df.createOrReplaceTempView(view)
             on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)

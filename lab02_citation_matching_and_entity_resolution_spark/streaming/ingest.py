@@ -23,11 +23,13 @@ the batch pipeline uses (one code path, one set of semantics), and upsert by
 conv_id via TableStore.merge_upsert (a real MERGE INTO on Iceberg).  Work per
 batch is proportional to the batch's conversations, not the table.
 
-Exactly-once: the file source + checkpointLocation give replay-safe input;
-the turns append is idempotent per file (re-processing a batch after a crash
-re-appends, and assembly dedups turns on (turn_idx, text_norm) ordering only
-if upstream guarantees unique turn_idx — documented contract of the
-input_hint schema); the docs upsert is idempotent by construction.
+Exactly-once EFFECT (not storage): the file source + checkpointLocation give
+replay-safe input, but a crash between the turns append and the checkpoint
+commit re-appends the replayed batch's rows to the raw table.  Assembly
+therefore full-row-dedups the turn history before concatenating — replayed
+rows are byte-identical, so the assembled documents (and the keyed upsert)
+are idempotent even though turns_raw may hold duplicates.  Pinned by the
+replay test in tests/test_streaming_ingest.py.
 """
 
 from __future__ import annotations
@@ -72,9 +74,17 @@ def incremental_assemble(
             store.append(batch_df, turns_table)
             affected = batch_df.select("conv_id").distinct()
             # full turn history of just the touched conversations — broadcast
-            # semi-join keeps this proportional to the batch, not the table
-            history = store.read(turns_table).join(
-                F.broadcast(affected), "conv_id", "left_semi"
+            # semi-join keeps this proportional to the batch, not the table.
+            # dropDuplicates makes re-assembly idempotent under batch REPLAY:
+            # a crash between the append and the checkpoint commit re-appends
+            # the same rows on restart, and without the dedup every turn in
+            # that batch would be assembled twice, permanently corrupting the
+            # docs.  Replayed rows are byte-identical, so full-row dedup is
+            # exact (no guessing about turn_idx semantics).
+            history = (
+                store.read(turns_table)
+                .join(F.broadcast(affected), "conv_id", "left_semi")
+                .dropDuplicates()
             )
             docs = assemble_documents(history)
             store.merge_upsert(docs, docs_table, key_cols=["conv_id"])

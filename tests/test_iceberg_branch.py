@@ -92,3 +92,18 @@ def test_iceberg_merge_upsert_issues_merge_into(spark):
     assert "WHEN MATCHED THEN UPDATE SET *" in sql
     assert "WHEN NOT MATCHED THEN INSERT *" in sql
     df.write.mode.assert_not_called()
+
+
+def test_iceberg_merge_upsert_bootstraps_missing_table(spark):
+    """First upsert to a brand-new table must CREATE it (MERGE INTO on a
+    missing table raises), and must not fall back to parquet."""
+    fake = _fake_spark_with_catalog()
+    fake.catalog.tableExists.return_value = False
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+    store.merge_upsert(df, "documents_live", key_cols=["conv_id"])
+    df.writeTo.assert_called_once_with("er.documents_live")
+    df.writeTo.return_value.using.assert_called_once_with("iceberg")
+    df.writeTo.return_value.using.return_value.create.assert_called_once()
+    fake.sql.assert_not_called()
+    df.write.mode.assert_not_called()

@@ -286,16 +286,22 @@ def test_attach_labels_unblocked_positive_gets_real_features(spark, feature_pair
     feats = [pos[0][c] for c in ("jaccard", "char_ngram_3", "levenshtein")]
     assert any(v is not None and v > 0 for v in feats), feats
 
+    # docs mode: blocked + unblocked rows carry the flags
+    assert pos[0]["unblocked"] == 1 and pos[0]["zero_filled"] == 0
+
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
         without = attach_labels(feature_pairs, fabricated)
-        assert any("dropped" in str(x.message) for x in rec)
-    assert (
-        without.where(
-            (F.col("left_id") == ids[0]) & (F.col("right_id") == ids[1])
-        ).count()
-        == 0
-    ), "unblocked positive must be dropped without docs"
+        assert any("zero features" in str(x.message) for x in rec)
+    # without docs the unblocked positive SURVIVES zero-filled and flagged —
+    # it must count as a false negative in evaluation; only training excludes
+    # it (train_and_evaluate filters label=1 & zero_filled=1)
+    pos2 = without.where(
+        (F.col("left_id") == ids[0]) & (F.col("right_id") == ids[1])
+    ).collect()
+    assert len(pos2) == 1
+    assert pos2[0]["unblocked"] == 1 and pos2[0]["zero_filled"] == 1
+    assert pos2[0]["jaccard"] == 0.0
     neg = without.where(
         (F.col("left_id") == ids[1]) & (F.col("right_id") == ids[0])
     ).collect()

@@ -75,3 +75,28 @@ def test_stream_ingest_incremental_and_restart_safe(spark, tmp_path):
     # checkpoint really is the dedup: a third drain with NO new files is a no-op
     _run_drain(spark, src, store, ckpt)
     assert store.read("turns_raw").count() == len(TURNS_A + TURNS_B)
+
+
+def test_stream_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: invoking the foreachBatch handler twice with
+    the SAME micro-batch (what Structured Streaming does after a failure
+    between the side-effect and the checkpoint commit) must leave the
+    documents table identical to a single delivery."""
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    handler = incremental_assemble(store)
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in TURNS_A],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    handler(batch, 0)
+    once = {r["conv_id"]: (r["doc_text"], r["n_turns"])
+            for r in store.read("documents_live").collect()}
+    handler(batch, 0)  # replay
+    twice = {r["conv_id"]: (r["doc_text"], r["n_turns"])
+             for r in store.read("documents_live").collect()}
+    assert twice == once
+    assert twice["c1"][1] == 2  # not doubled
