@@ -245,16 +245,20 @@ def j5_partition_map_join(spark, sf_dir):
     "j7_anti_join",
     """
     SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
     """,
     "J7 + SO2: anti-join semantics (ref :758-759); set difference (SO2) is "
-    "the same contract on these keys — EXCEPT variant pinned in unit tests",
+    "the same contract on these keys — EXCEPT variant pinned in unit tests. "
+    "Anti-joins against the 'F'-status order subset (not all orders) so the "
+    "witness is non-vacuous: every customer has SOME order in the synthetic "
+    "data, so the all-orders variant matched trivially at 0 rows",
 )
 def j7_anti_join(spark, sf_dir):
     return (
         T(spark, sf_dir, "customer")
         .join(
-            T(spark, sf_dir, "orders"),
+            T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F"),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )

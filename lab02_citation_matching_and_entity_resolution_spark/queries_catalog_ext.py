@@ -57,21 +57,26 @@ sh AS (
     ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#23120334')), doc_id
   ) <= 2000
 )
-SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-       ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
-             len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
-WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0
-  AND len(list_intersect(a.s, b.s)) * 1.0 /
-      len(list_distinct(list_cat(a.s, b.s))) >= 0.5
+SELECT left_id, right_id, jaccard FROM (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+               len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0
+)
+WHERE jaccard >= 0.3
 """
 
 
 @q("dedup_ngram_jaccard", q_dedup_ngram_sql,
-   "char-3-gram Jaccard near-dup pairs within (lang, source) blocks")
+   "char-3-gram Jaccard near-dup pairs within (lang, source) blocks; "
+   "threshold 0.3 so the sf0.01 witness is non-trivial (~270 pairs vs 1 at "
+   "0.5 — the synthetic corpus has no true near-dups, only family "
+   "resemblance); oracle filters on the SAME 6dp-rounded value as the "
+   "operator so boundary pairs agree bit-for-bit")
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        T(spark, sf_dir, "documents"), n=3, threshold=0.5
+        T(spark, sf_dir, "documents"), n=3, threshold=0.3
     )
 
 
@@ -187,24 +192,28 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 q_embedding_near_sql = """
-SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.6
+SELECT left_id, right_id, cosine FROM (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label
+  WHERE a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.35
 """
 
 
 @q("dedup_embedding_cosine", q_embedding_near_sql,
-   "embedding-cosine near-dup pairs, blocked on label")
+   "embedding-cosine near-dup pairs, blocked on label; threshold 0.35 so "
+   "the sf0.01 witness is non-trivial (~26 pairs — the synthetic embeddings "
+   "are near-orthogonal random vectors, so 0.6 matched vacuously at 0 "
+   "rows); oracle filters on the SAME 6dp-rounded cosine as the operator")
 def dedup_embedding_cosine(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return dedup.embedding_near_dup(
-        emb, threshold=0.6, block_expr=F.col("label")
+        emb, threshold=0.35, block_expr=F.col("label")
     )
 
 
