@@ -23,6 +23,16 @@ the batch pipeline uses (one code path, one set of semantics), and upsert by
 conv_id via TableStore.merge_upsert (a real MERGE INTO on Iceberg).  Work per
 batch is proportional to the batch's conversations, not the table.
 
+Scan pruning: ``turns_raw`` is written partitioned by ``conv_bucket =
+pmod(xxhash64(conv_id), n_buckets)``, and the history read filters on the
+batch's bucket set BEFORE the semi-join, so the parquet (or Iceberg
+partition-spec) scan prunes to the touched buckets — without this the
+semi-join bounds join work but every micro-batch still READS the whole raw
+table, a per-batch full-table scan at 100 TB.  PartitionFilters on the
+history read are pinned by a plan test (tests/test_streaming_ingest.py).
+``n_buckets`` trades pruning sharpness against small-file count: each batch
+reads ~min(n_convs_in_batch, n_buckets)/n_buckets of the table.
+
 Exactly-once EFFECT (not storage): the file source + checkpointLocation give
 replay-safe input, but a crash between the turns append and the checkpoint
 commit re-appends the replayed batch's rows to the raw table.  Assembly
@@ -47,6 +57,29 @@ TRANSCRIPT_DDL = (
 
 TURNS_TABLE = "turns_raw"
 DOCS_TABLE = "documents_live"
+N_CONV_BUCKETS = 64
+
+
+def conv_bucket_expr(n_buckets: int = N_CONV_BUCKETS) -> F.Column:
+    """Deterministic conversation bucket: pmod(xxhash64(conv_id), n)."""
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+def pruned_history(
+    store: TableStore,
+    turns_table: str,
+    affected: DataFrame,
+    buckets: list[int],
+) -> DataFrame:
+    """Full turn history of the touched conversations, with the scan pruned
+    to the touched conv_bucket partitions.  Kept as a standalone function so
+    the plan test can assert PartitionFilters on exactly this read."""
+    history = store.read(turns_table)
+    if "conv_bucket" in history.columns:
+        # partition-value filter -> parquet directory pruning (the scan reads
+        # only the touched buckets, not the table)
+        history = history.where(F.col("conv_bucket").isin(buckets)).drop("conv_bucket")
+    return history.join(F.broadcast(affected), "conv_id", "left_semi").dropDuplicates()
 
 
 def read_transcript_stream(
@@ -63,29 +96,31 @@ def incremental_assemble(
     store: TableStore,
     turns_table: str = TURNS_TABLE,
     docs_table: str = DOCS_TABLE,
+    n_buckets: int = N_CONV_BUCKETS,
 ):
-    """foreachBatch handler: append turns, re-assemble affected convs, upsert."""
+    """foreachBatch handler: append turns (bucket-partitioned), re-assemble
+    affected convs from a partition-pruned history read, upsert."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
+        batch_df = batch_df.withColumn("conv_bucket", conv_bucket_expr(n_buckets)).persist()
         try:
             if not batch_df.take(1):
                 return
-            store.append(batch_df, turns_table)
+            store.append(batch_df, turns_table, partition_by=["conv_bucket"])
             affected = batch_df.select("conv_id").distinct()
-            # full turn history of just the touched conversations — broadcast
-            # semi-join keeps this proportional to the batch, not the table.
-            # dropDuplicates makes re-assembly idempotent under batch REPLAY:
-            # a crash between the append and the checkpoint commit re-appends
-            # the same rows on restart, and without the dedup every turn in
-            # that batch would be assembled twice, permanently corrupting the
-            # docs.  Replayed rows are byte-identical, so full-row dedup is
-            # exact (no guessing about turn_idx semantics).
-            history = (
-                store.read(turns_table)
-                .join(F.broadcast(affected), "conv_id", "left_semi")
-                .dropDuplicates()
-            )
+            # bounded driver-side collect: at most n_buckets distinct values
+            buckets = [r[0] for r in batch_df.select("conv_bucket").distinct().collect()]
+            # full turn history of just the touched conversations — the bucket
+            # filter prunes the SCAN to the touched partitions, the broadcast
+            # semi-join bounds the JOIN to the batch's conversations.
+            # dropDuplicates (inside pruned_history) makes re-assembly
+            # idempotent under batch REPLAY: a crash between the append and
+            # the checkpoint commit re-appends the same rows on restart, and
+            # without the dedup every turn in that batch would be assembled
+            # twice, permanently corrupting the docs.  Replayed rows are
+            # byte-identical (conv_bucket is deterministic), so full-row
+            # dedup is exact (no guessing about turn_idx semantics).
+            history = pruned_history(store, turns_table, affected, buckets)
             docs = assemble_documents(history)
             store.merge_upsert(docs, docs_table, key_cols=["conv_id"])
         finally:

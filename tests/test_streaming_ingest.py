@@ -100,3 +100,47 @@ def test_stream_ingest_batch_replay_is_idempotent(spark, tmp_path):
              for r in store.read("documents_live").collect()}
     assert twice == once
     assert twice["c1"][1] == 2  # not doubled
+
+
+def test_history_read_prunes_partitions(spark, tmp_path):
+    """The per-batch history read must PRUNE the turns_raw scan to the
+    batch's conv_bucket partitions (PartitionFilters in the plan), not read
+    the whole raw table and rely on the semi-join — at 100 TB an unpruned
+    scan is a per-batch full-table read (round-3 verdict finding #1)."""
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+        pruned_history,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    handler = incremental_assemble(store)
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in TURNS_A + TURNS_B],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    handler(batch, 0)
+
+    # turns_raw is physically partitioned by conv_bucket
+    raw_dir = tmp_path / "tables" / "turns_raw"
+    assert any(p.name.startswith("conv_bucket=") for p in raw_dir.iterdir())
+
+    affected = batch.select("conv_id").distinct().where(F.col("conv_id") == "c1")
+    hist = pruned_history(store, "turns_raw", affected, [3])
+    plan = hist._sc._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "conv_bucket" in pf
+
+    # and the pruned read still returns exactly the touched conversations
+    # when given the real bucket set
+    real_buckets = [
+        r[0]
+        for r in batch.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(64)).cast("int")
+        ).distinct().collect()
+    ]
+    full = pruned_history(store, "turns_raw", batch.select("conv_id").distinct(), real_buckets)
+    assert full.count() == len(TURNS_A + TURNS_B)
+    assert "conv_bucket" not in full.columns
