@@ -103,6 +103,16 @@ spark.stop()
 
 DATA_DIR = os.environ.get("SPARK_GRAFT_SCALING_DATA", "/tmp/er_scaling_data")
 
+# "strong" (default): same corpus at every core level; efficiency =
+# (T_lo/T_hi)/(hi/lo).  "weak": corpus scales WITH cores (fixed work per
+# core, n_base = N_BASE * cores / max_cores); efficiency compares
+# per-core THROUGHPUT: (rate_hi/rate_lo)/(hi/lo), which is 1.0 when each
+# core keeps its own working set at constant speed.  If strong-scaling
+# efficiency falls short but weak-scaling recovers, the shortfall is
+# per-core working-set bandwidth (cache/memory), not dataflow serialization
+# — the round-3 verdict asked for exactly this discriminator.
+MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "strong")
+
 
 def _env() -> dict:
     # PYTHONPATH + cwd=REPO so Spark PYTHON WORKERS (not just the driver)
@@ -113,32 +123,32 @@ def _env() -> dict:
     )
 
 
-def prepare_data() -> None:
-    meta = os.path.join(DATA_DIR, "meta.json")
+def prepare_data(n_base: int = N_BASE, data_dir: str = DATA_DIR) -> None:
+    meta = os.path.join(data_dir, "meta.json")
     if os.path.exists(meta):
         with open(meta) as f:
-            if json.load(f).get("n_base") == N_BASE:
-                print(f"reusing prepared corpus n_base={N_BASE} at {DATA_DIR}")
+            if json.load(f).get("n_base") == n_base:
+                print(f"reusing prepared corpus n_base={n_base} at {data_dir}")
                 return
-    os.makedirs(DATA_DIR, exist_ok=True)
-    print(f"preparing corpus n_base={N_BASE} at {DATA_DIR} (unpinned local[32])",
+    os.makedirs(data_dir, exist_ok=True)
+    print(f"preparing corpus n_base={n_base} at {data_dir} (unpinned local[32])",
           flush=True)
     out = subprocess.run(
-        [sys.executable, "-c", PREP.replace("@REPO@", REPO), str(N_BASE), DATA_DIR],
+        [sys.executable, "-c", PREP.replace("@REPO@", REPO), str(n_base), data_dir],
         capture_output=True, text=True, timeout=3600, env=_env(), cwd=REPO,
     )
     if "prepared" not in out.stdout:
         raise RuntimeError(f"prep failed:\n{out.stderr[-3000:]}")
 
 
-def run_at(cores: int, retries: int = 1) -> dict:
+def run_at(cores: int, data_dir: str = DATA_DIR, retries: int = 1) -> dict:
     import shutil
 
     code = RUNNER.replace("@REPO@", REPO)
     last_err = ""
     for attempt in range(retries + 1):
         env = _env()
-        cmd = [sys.executable, "-c", code, str(cores), DATA_DIR]
+        cmd = [sys.executable, "-c", code, str(cores), data_dir]
         # PIN the whole process tree (JVM + GC + Python Arrow workers + IO
         # threads) to exactly `cores` CPUs: local[N] alone only bounds task
         # slots, and on a quiet box the 2-core leg leaks 3-4 extra cores of
@@ -171,7 +181,51 @@ def run_at(cores: int, retries: int = 1) -> dict:
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 
 
+def main_weak() -> None:
+    """Fixed work PER CORE: each level runs its own corpus with n_base
+    proportional to its core count (hi level == N_BASE).  Perfect scaling
+    keeps per-core throughput constant, so
+    eff_weak = (rate_hi / rate_lo) / (hi / lo), rate = n_pairs / score_sec
+    (measured pair counts absorb any nonlinearity of blocking vs n_base)."""
+    hi = max(CORE_LEVELS)
+    level_dirs = {}
+    for cores in CORE_LEVELS:
+        n_base = max(200, N_BASE * cores // hi)
+        d = f"{DATA_DIR}_weak{cores}"
+        prepare_data(n_base, d)
+        level_dirs[cores] = d
+    results: dict = {"mode": "weak", "n_base_hi": N_BASE}
+    times: dict[int, list[dict]] = {c: [] for c in CORE_LEVELS}
+    for rep in range(REPEATS):
+        for cores in CORE_LEVELS:
+            r = run_at(cores, level_dirs[cores])
+            times[cores].append(r)
+            print(f"rep{rep} weak local[{cores}]: {r['n_pairs']} pairs in "
+                  f"{r['score_sec']:.1f}s = {r['pairs_per_sec']:.0f} pairs/sec",
+                  flush=True)
+    for cores in CORE_LEVELS:
+        best = min(times[cores], key=lambda r: r["score_sec"])
+        results[f"local[{cores}]"] = dict(
+            best, all_times=[round(r["score_sec"], 2) for r in times[cores]],
+            control_sec=min(r["control_sec"] for r in times[cores]),
+        )
+    lo = CORE_LEVELS[0]
+    r_lo, r_hi = results[f"local[{lo}]"], results[f"local[{hi}]"]
+    eff = (r_hi["pairs_per_sec"] / r_lo["pairs_per_sec"]) / (hi / lo)
+    results[f"weak_scaling_efficiency_{lo}_to_{hi}"] = eff
+    ctrl = r_lo["control_sec"] / r_hi["control_sec"]
+    results["control_speedup"] = ctrl
+    results["normalized_weak_efficiency"] = eff * (hi / lo) / ctrl
+    print(f"weak-scaling efficiency (rate{hi}/rate{lo})/{hi // lo} = {eff:.3f}; "
+          f"control speedup {ctrl:.2f}x; normalized = {eff * (hi / lo) / ctrl:.3f}")
+    with open(os.path.join(REPO, "BENCH", "scaling_results_weak.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
 def main() -> None:
+    if MODE == "weak":
+        main_weak()
+        return
     prepare_data()
     # interleave legs and take the MIN time per level: the sandbox shares its
     # CPUs with the round driver's periodic jobs, so single measurements can

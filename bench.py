@@ -43,6 +43,14 @@ LEGS = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
 # without the sustained number.
 SUSTAINED_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_MULT", "4"))
 SUSTAINED_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_DEADLINE", "210"))
+# learned-scorer leg: score the SAME pairs through the fitted logistic model
+# (ML-pipeline path) so the model path has a throughput number alongside the
+# rule path; SPARK_GRAFT_BENCH_MODEL=0 disables.  Skipped (reason recorded)
+# when the sprint already ran past MODEL_DEADLINE seconds — same budget
+# discipline as the sustained leg: a bench that never prints its JSON is
+# worse than one without the model number.
+MODEL_LEG = os.environ.get("SPARK_GRAFT_BENCH_MODEL", "1") == "1"
+MODEL_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_MODEL_DEADLINE", "150"))
 
 
 def _force(df) -> int:
@@ -113,6 +121,50 @@ def main() -> None:
     score_sec = min(leg_times)
     timings["score_pairs"] = round(score_sec, 3)
     pairs_per_sec = n_pairs / score_sec if score_sec > 0 else 0.0
+
+    # in-JVM pure-compute control (same leg BENCH/scaling.py uses): map-only
+    # sha2, no shuffle, no Python.  Identical work at every capture, so a
+    # loaded-window run shows up as an inflated control_sec — external-load
+    # contamination (round-3 verdict: the 33.2k artifact) becomes
+    # self-diagnosing instead of looking like an engine regression.
+    t0 = time.time()
+    spark.range(0, 40_000_000, 1, CPUS * 4).selectExpr(
+        "sum(length(sha2(cast(id as string), 256))) as s"
+    ).collect()
+    control_sec = round(time.time() - t0, 3)
+
+    model_leg = None
+    if MODEL_LEG and time.time() - t_bench_start > MODEL_DEADLINE:
+        model_leg = {
+            "skipped": f"sprint phase took {round(time.time() - t_bench_start, 1)}s "
+                       f"> model deadline {MODEL_DEADLINE}s (loaded box)"
+        }
+    elif MODEL_LEG:
+        from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+            fit_logistic,
+            score_pairs_logistic,
+        )
+
+        # fit outside the timer on a bounded sample; pseudo-labels from the
+        # rule score are fine — this leg measures model-path THROUGHPUT
+        # (feature frame -> ML transform), not model quality (that's
+        # tests/test_model_scoring.py's job)
+        train = score_pairs_rule(
+            pair_tfidf_cosine(pair_features(pairs.limit(20000), docs), docs)
+        ).withColumn("label", (F.col("score") >= 0.5).cast("int"))
+        model = fit_logistic(train, "label")
+        t0 = time.time()
+        scored_m = score_pairs_logistic(
+            model, pair_tfidf_cosine(pair_features(pairs, docs), docs)
+        )
+        _force(scored_m.select("left_id", "right_id", "model_score"))
+        model_sec = time.time() - t0
+        timings["score_pairs_model"] = round(model_sec, 3)
+        model_leg = {
+            "n_pairs": n_pairs,
+            "sec": round(model_sec, 3),
+            "pairs_per_sec": round(n_pairs / model_sec, 1) if model_sec > 0 else 0.0,
+        }
 
     sustained = None
     elapsed = time.time() - t_bench_start
@@ -188,6 +240,8 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "n_pairs_scored": n_pairs,
                 "score_legs_sec": [round(t, 3) for t in leg_times],
+                "control_sec": control_sec,
+                "model_leg": model_leg,
                 "sustained": sustained,
                 "n_base": N_BASE,
                 "total_sec": total,

@@ -202,10 +202,15 @@ def tune_model(
     pos-label F1, NOT weighted multiclass — round-2 ADVICE), best combo wins
     (ties -> first in trial order; all fits share ``seed``).
 
-    ``search="grid"`` tries every combo; ``search="random"`` is the analog
-    of the reference's Optuna study (notebooks/modeling.ipynb cell 12,
-    30 trials): a seeded without-replacement sample of ``n_trials`` combos
-    from the grid, deterministic under ``seed``.
+    ``search="grid"`` tries every combo; ``search="random"`` is a seeded
+    without-replacement sample of ``n_trials`` combos from the grid,
+    deterministic under ``seed``; ``search="adaptive"`` is the closer analog
+    of the reference's Optuna study (notebooks/modeling.ipynb cell 12, 30
+    trials — TPE adapts trial-by-trial): explore half the budget at random,
+    then spend the rest on one-hyperparameter neighbors of the current top
+    quartile, re-ranking between batches.  Fully deterministic under
+    ``seed`` (md5 tie-breaks, no Python hash randomization) — unlike TPE
+    itself, so results are reproducible across runs and engines.
 
     Returns (best_model, best_params, results) where results is
     [(params, val_f1), ...] in trial order.
@@ -216,6 +221,7 @@ def tune_model(
         grid = DEFAULT_RF_GRID if family == "rf" else (
             {"reg_param": 1e-4}, {"reg_param": 1e-2}, {"reg_param": 1.0},
         )
+    full_grid = grid
     if search == "random":
         import random as _random
 
@@ -223,7 +229,7 @@ def tune_model(
         idx = list(range(len(grid)))
         rng.shuffle(idx)
         grid = tuple(grid[i] for i in sorted(idx[: min(n_trials, len(grid))]))
-    elif search != "grid":
+    elif search not in ("grid", "adaptive"):
         raise ValueError(f"unknown search mode {search!r}")
     evaluator = MulticlassClassificationEvaluator(
         labelCol=label_col, predictionCol="prediction",
@@ -250,6 +256,72 @@ def tune_model(
         else:
             raise ValueError(f"unknown model family {family!r}")
         return model, float(evaluator.evaluate(model.transform(val_clean)))
+
+    if search == "adaptive":
+        import hashlib
+        import random as _random
+
+        def _key(p: dict) -> str:
+            return repr(sorted(p.items()))
+
+        def _tiebreak(p: dict) -> str:
+            return hashlib.md5(f"{_key(p)}#{seed}".encode()).hexdigest()
+
+        def run_batch(batch: list[dict]) -> list[tuple[dict, float]]:
+            # score-only (model dropped) — the winner is refit once at the
+            # end, same memory discipline as the parallel path below
+            if parallelism > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                    f1s = list(pool.map(lambda p: fit_and_score(p)[1], batch))
+                return list(zip(batch, f1s))
+            return [(p, fit_and_score(p)[1]) for p in batch]
+
+        budget = min(n_trials, len(full_grid))
+        rng = _random.Random(seed)
+        idx = list(range(len(full_grid)))
+        rng.shuffle(idx)
+        explore = [full_grid[i] for i in sorted(idx[: max(1, budget // 2)])]
+        results = run_batch(explore)
+        tried = {_key(p) for p in explore}
+        while len(results) < budget:
+            ranked = sorted(results, key=lambda pf: (-pf[1], _tiebreak(pf[0])))
+            top = [p for p, _ in ranked[: max(1, len(ranked) // 4)]]
+            # one-hyperparameter neighbors of the current top quartile,
+            # ordered by (parent rank, seeded md5) — deterministic
+            cands: list[tuple[int, str, dict]] = []
+            for parent_rank, t in enumerate(top):
+                for g in full_grid:
+                    k = _key(g)
+                    if k in tried:
+                        continue
+                    diff = [d for d in set(t) | set(g) if t.get(d) != g.get(d)]
+                    if len(diff) == 1:
+                        cands.append((parent_rank, _tiebreak(g), g))
+            if not cands:
+                # exploitation exhausted: fall back to unexplored combos
+                cands = [
+                    (0, _tiebreak(g), g) for g in full_grid if _key(g) not in tried
+                ]
+                if not cands:
+                    break
+            cands.sort(key=lambda c: (c[0], c[1]))
+            batch, seen_batch = [], set()
+            for _, _, g in cands:
+                k = _key(g)
+                if k in seen_batch:
+                    continue
+                batch.append(g)
+                seen_batch.add(k)
+                if len(batch) >= max(1, parallelism) or len(results) + len(batch) >= budget:
+                    break
+            results.extend(run_batch(batch))
+            tried.update(_key(p) for p in batch)
+        best_f1 = max(f1 for _, f1 in results)
+        best_params = next(p for p, f1 in results if f1 == best_f1)
+        best_model, _ = fit_and_score(best_params)
+        return best_model, best_params, results
 
     # memory discipline: only the best-so-far model is retained.  A 16-combo
     # RF grid holds 16 x 250-tree models if every fit stays referenced —

@@ -96,6 +96,30 @@ def test_ivf_recall_vs_brute(spark):
     # the query vector itself is always its own top hit in both
     assert all((q, q) in i for q in range(5))
 
+    # one Lloyd re-centering round must not hurt recall (typically helps:
+    # re-centered cells are better balanced at fixed n_probe), and the
+    # refined plan must stay exchange-clean (no SinglePartition anywhere)
+    ivf_r = ann.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4, refine=1)
+    ir = {(r["query_id"], r["vec_id"]) for r in ivf_r.collect()}
+    assert len(b & ir) >= len(b & i)
+    plan = ivf_r._sc._jvm.PythonSQLUtils.explainString(
+        ivf_r._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_refine_centroids_keeps_empty_cells_and_cell_count(spark):
+    """Refinement must preserve the cell-id set even when a seed centroid
+    attracts no vectors (coalesce keeps the seed)."""
+    rows = [(i, [float(i % 2), 1.0 - (i % 2)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = ann.seed_centroids(emb, 6)
+    refined = ann.refine_centroids(emb, seeds, rounds=1)
+    got = refined.select("cell_id").orderBy("cell_id").collect()
+    assert [r["cell_id"] for r in got] == list(range(6))
+    # every refined centroid still has a usable norm
+    assert all(r["cnorm"] > 0 for r in refined.collect())
+
 
 def test_language_id(spark):
     got = {r["doc_id"]: r["lang_guess"] for r in textstats.language_id(_docs(spark)).collect()}

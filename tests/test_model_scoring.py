@@ -350,6 +350,57 @@ def test_random_search_deterministic_and_competitive(spark, feature_pairs):
     assert best_rand_f1 >= best_grid_f1 - 0.15  # competitive, not crippled
 
 
+def test_adaptive_search_deterministic_and_budgeted(spark, feature_pairs):
+    """TPE-analog mode: explore half the budget at random, exploit
+    one-hyperparameter neighbors of the top quartile for the rest.  Must be
+    deterministic under seed, respect the trial budget without repeats, and
+    with full-grid budget find the same winner as grid search."""
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        tune_model,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    data = (
+        attach_labels(feature_pairs, labeled)
+        .withColumn("partition", group_split_col("left_id"))
+        .persist()
+    )
+    train = data.where("partition = 'train'")
+    val = data.where("partition = 'val'")
+    grid = tuple(
+        {"num_trees": nt, "max_depth": md, "min_instances_per_node": mi}
+        for nt in (3, 10)
+        for md in (2, 6)
+        for mi in (1, 4)
+    )  # 8 combos
+    _, pa, ra = tune_model(
+        train, val, family="rf", grid=grid, search="adaptive", n_trials=5, seed=11
+    )
+    _, pb, rb = tune_model(
+        train, val, family="rf", grid=grid, search="adaptive", n_trials=5, seed=11
+    )
+    assert [p for p, _ in ra] == [p for p, _ in rb]  # seed-deterministic
+    assert pa == pb
+    assert len(ra) == 5
+    keys = [tuple(sorted(p.items())) for p, _ in ra]
+    assert len(set(keys)) == 5  # no repeated trials
+    assert all(p in grid for p, _ in ra)
+    best_f1 = max(f1 for _, f1 in ra)
+    assert ra[[p for p, _ in ra].index(pa)][1] == best_f1
+    # exploitation property: every post-explore trial is a one-hyperparameter
+    # neighbor of some earlier trial (or a fallback when none remain)
+    explore_n = max(1, 5 // 2)
+    for i, (p, _) in enumerate(ra[explore_n:], start=explore_n):
+        earlier = [q for q, _ in ra[:i]]
+        assert any(
+            sum(1 for k in set(p) | set(q) if p.get(k) != q.get(k)) == 1
+            for q in earlier
+        )
+
+
 def test_balanced_class_weights_fit(spark, feature_pairs):
     """class_weight='balanced' emulation via weightCol (round-2 ADVICE): the
     weighted fit must run and still separate the planted duplicates."""
