@@ -126,6 +126,39 @@ class TableStore:
         os.replace(tmp, final)
         shutil.rmtree(trash)
 
+    def merge_upsert_partitioned(
+        self, df: DataFrame, name: str, key_cols: list[str], partition_col: str
+    ):
+        """Per-key upsert where ``df`` touches only a subset of
+        ``partition_col`` values: only those partitions are rewritten,
+        bounding merge cost to the touched partitions instead of the table
+        (the plain parquet ``merge_upsert`` rewrites everything — fine for a
+        one-off, a scale bug inside a per-batch streaming loop).
+
+        Iceberg: delegates to MERGE INTO (the engine prunes by partition
+        spec on its own).  Parquet: read ONLY the touched partitions,
+        anti-join out updated keys, union the new rows, localCheckpoint to
+        sever lineage from the files about to be replaced (reading lazily
+        from a path being overwritten corrupts the table), then
+        dynamic-partition-overwrite exactly those partitions.  A crash
+        mid-overwrite can leave a subset of touched partitions new and the
+        rest old; the streaming caller's batch REPLAY re-merges the same
+        rows, which converges because the merge is idempotent per key.
+        """
+        if self._use_iceberg():
+            self.merge_upsert(df, name, key_cols)
+            return
+        from pyspark.sql.functions import col
+
+        if not self.exists(name):
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(self._path(name))
+            return
+        vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+        existing = self.read(name).where(col(partition_col).isin(vals))
+        keep = existing.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        result = keep.unionByName(df).localCheckpoint(eager=True)
+        self.overwrite_partitions(result, name, [partition_col])
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]):
         """Replace only the partitions present in ``df`` — the resume
         substrate (Iceberg overwritePartitions / dynamic parquet overwrite)."""

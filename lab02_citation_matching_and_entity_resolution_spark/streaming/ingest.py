@@ -20,8 +20,10 @@ idiomatic fix is incremental re-materialization: each batch touches only the
 conv_ids it contains — re-read those conversations' full turn history (a
 broadcast semi-join against the raw table), run the SAME assemble_documents
 the batch pipeline uses (one code path, one set of semantics), and upsert by
-conv_id via TableStore.merge_upsert (a real MERGE INTO on Iceberg).  Work per
-batch is proportional to the batch's conversations, not the table.
+conv_id via TableStore.merge_upsert_partitioned (a real MERGE INTO on
+Iceberg; on parquet a dynamic overwrite of ONLY the touched conv_bucket
+partitions).  Work per batch is proportional to the batch's conversations,
+not the table.
 
 Scan pruning: ``turns_raw`` is written partitioned by ``conv_bucket =
 pmod(xxhash64(conv_id), n_buckets)``, and the history read filters on the
@@ -121,8 +123,15 @@ def incremental_assemble(
             # byte-identical (conv_bucket is deterministic), so full-row
             # dedup is exact (no guessing about turn_idx semantics).
             history = pruned_history(store, turns_table, affected, buckets)
-            docs = assemble_documents(history)
-            store.merge_upsert(docs, docs_table, key_cols=["conv_id"])
+            # docs carry the same bucket column, so the upsert rewrites ONLY
+            # the touched documents_live partitions (the plain parquet
+            # merge_upsert rewrites the whole table — a per-batch scale bug)
+            docs = assemble_documents(history).withColumn(
+                "conv_bucket", conv_bucket_expr(n_buckets)
+            )
+            store.merge_upsert_partitioned(
+                docs, docs_table, key_cols=["conv_id"], partition_col="conv_bucket"
+            )
         finally:
             batch_df.unpersist()
 

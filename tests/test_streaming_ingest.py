@@ -144,3 +144,53 @@ def test_history_read_prunes_partitions(spark, tmp_path):
     full = pruned_history(store, "turns_raw", batch.select("conv_id").distinct(), real_buckets)
     assert full.count() == len(TURNS_A + TURNS_B)
     assert "conv_bucket" not in full.columns
+
+
+def test_docs_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """documents_live is bucket-partitioned and a batch's upsert must leave
+    every untouched bucket's files byte-identical on disk — the whole-table
+    rewrite of the plain parquet merge_upsert is a per-batch scale bug in a
+    streaming loop."""
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+    )
+
+    def _ddl(rows):
+        return spark.createDataFrame(
+            [tuple(r.values()) for r in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    handler = incremental_assemble(store)
+    handler(_ddl(TURNS_A), 0)  # creates docs for c1, c2
+
+    docs_dir = tmp_path / "tables" / "documents_live"
+    bucket_dirs = [p for p in docs_dir.iterdir() if p.name.startswith("conv_bucket=")]
+    assert bucket_dirs  # partitioned layout
+    before = {
+        p.name: sorted((f.name, f.stat().st_mtime_ns) for f in p.glob("*.parquet"))
+        for p in bucket_dirs
+    }
+
+    handler(_ddl(TURNS_B), 1)  # touches c1 (grows) and c3 (new), NOT c2
+    touched = {
+        r[0]
+        for r in _ddl(TURNS_B)
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(64)).cast("int"))
+        .distinct()
+        .collect()
+    }
+    after = {
+        p.name: sorted((f.name, f.stat().st_mtime_ns) for f in p.glob("*.parquet"))
+        for p in docs_dir.iterdir()
+        if p.name.startswith("conv_bucket=")
+    }
+    for name, files in before.items():
+        bucket = int(name.split("=")[1])
+        if bucket not in touched:
+            assert after[name] == files, f"untouched {name} was rewritten"
+    # and the merged table is still correct
+    docs = {r["conv_id"]: r for r in store.read("documents_live").collect()}
+    assert set(docs) == {"c1", "c2", "c3"}
+    assert docs["c1"]["n_turns"] == 3
