@@ -50,7 +50,7 @@ SUSTAINED_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_DEADLINE"
 # discipline as the sustained leg: a bench that never prints its JSON is
 # worse than one without the model number.
 MODEL_LEG = os.environ.get("SPARK_GRAFT_BENCH_MODEL", "1") == "1"
-MODEL_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_MODEL_DEADLINE", "150"))
+MODEL_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_MODEL_DEADLINE", "400"))
 
 
 def _force(df) -> int:
@@ -133,39 +133,6 @@ def main() -> None:
     ).collect()
     control_sec = round(time.time() - t0, 3)
 
-    model_leg = None
-    if MODEL_LEG and time.time() - t_bench_start > MODEL_DEADLINE:
-        model_leg = {
-            "skipped": f"sprint phase took {round(time.time() - t_bench_start, 1)}s "
-                       f"> model deadline {MODEL_DEADLINE}s (loaded box)"
-        }
-    elif MODEL_LEG:
-        from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
-            fit_logistic,
-            score_pairs_logistic,
-        )
-
-        # fit outside the timer on a bounded sample; pseudo-labels from the
-        # rule score are fine — this leg measures model-path THROUGHPUT
-        # (feature frame -> ML transform), not model quality (that's
-        # tests/test_model_scoring.py's job)
-        train = score_pairs_rule(
-            pair_tfidf_cosine(pair_features(pairs.limit(20000), docs), docs)
-        ).withColumn("label", (F.col("score") >= 0.5).cast("int"))
-        model = fit_logistic(train, "label")
-        t0 = time.time()
-        scored_m = score_pairs_logistic(
-            model, pair_tfidf_cosine(pair_features(pairs, docs), docs)
-        )
-        _force(scored_m.select("left_id", "right_id", "model_score"))
-        model_sec = time.time() - t0
-        timings["score_pairs_model"] = round(model_sec, 3)
-        model_leg = {
-            "n_pairs": n_pairs,
-            "sec": round(model_sec, 3),
-            "pairs_per_sec": round(n_pairs / model_sec, 1) if model_sec > 0 else 0.0,
-        }
-
     sustained = None
     elapsed = time.time() - t_bench_start
     if SUSTAINED_MULT > 1 and elapsed > SUSTAINED_DEADLINE:
@@ -202,6 +169,43 @@ def main() -> None:
         timings["score_pairs_sustained"] = round(sus_sec, 3)
         docs_big.unpersist()
         pairs_big.unpersist()
+
+    # learned-scorer leg AFTER sustained: it is the cheaper of the two
+    # optional legs, so under load (sprint overran both deadlines is rare;
+    # sustained's 210s one is tighter) the model number still lands in the
+    # artifact — the round-3 verdict asked for it in BENCH_r04.
+    model_leg = None
+    if MODEL_LEG and time.time() - t_bench_start > MODEL_DEADLINE:
+        model_leg = {
+            "skipped": f"earlier phases took {round(time.time() - t_bench_start, 1)}s "
+                       f"> model deadline {MODEL_DEADLINE}s (loaded box)"
+        }
+    elif MODEL_LEG:
+        from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+            fit_logistic,
+            score_pairs_logistic,
+        )
+
+        # fit outside the timer on a bounded sample; pseudo-labels from the
+        # rule score are fine — this leg measures model-path THROUGHPUT
+        # (feature frame -> ML transform), not model quality (that's
+        # tests/test_model_scoring.py's job)
+        train = score_pairs_rule(
+            pair_tfidf_cosine(pair_features(pairs.limit(20000), docs), docs)
+        ).withColumn("label", (F.col("score") >= 0.5).cast("int"))
+        model = fit_logistic(train, "label")
+        t0 = time.time()
+        scored_m = score_pairs_logistic(
+            model, pair_tfidf_cosine(pair_features(pairs, docs), docs)
+        )
+        _force(scored_m.select("left_id", "right_id", "model_score"))
+        model_sec = time.time() - t0
+        timings["score_pairs_model"] = round(model_sec, 3)
+        model_leg = {
+            "n_pairs": n_pairs,
+            "sec": round(model_sec, 3),
+            "pairs_per_sec": round(n_pairs / model_sec, 1) if model_sec > 0 else 0.0,
+        }
 
     # ---- operator library on the driver's tables ----
     for name in ["a5_sum_rollups", "j1_blocked_all_pairs", "w3_topk_per_group",
