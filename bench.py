@@ -207,6 +207,29 @@ def main() -> None:
             "pairs_per_sec": round(n_pairs / model_sec, 1) if model_sec > 0 else 0.0,
         }
 
+        # production-inference fast path (M6): broadcast the fitted weights
+        # as a pure-column sigmoid — no VectorAssembler/UDT in the hot path.
+        # Same pairs, same model; the pipeline-vs-fast gap is the cost of
+        # the ML-pipeline transform, and this leg shows it is recoverable.
+        from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+            logistic_weights_scorer,
+            sigmoid_score_col,
+        )
+
+        w, b = logistic_weights_scorer(model)
+        t0 = time.time()
+        feats_f = pair_tfidf_cosine(pair_features(pairs, docs), docs)
+        scored_f = feats_f.withColumn(
+            "model_score", F.round(sigmoid_score_col(w, b), 6)
+        )
+        _force(scored_f.select("left_id", "right_id", "model_score"))
+        fast_sec = time.time() - t0
+        timings["score_pairs_model_fast"] = round(fast_sec, 3)
+        model_leg["fast_sec"] = round(fast_sec, 3)
+        model_leg["fast_pairs_per_sec"] = (
+            round(n_pairs / fast_sec, 1) if fast_sec > 0 else 0.0
+        )
+
     # ---- operator library on the driver's tables ----
     for name in ["a5_sum_rollups", "j1_blocked_all_pairs", "w3_topk_per_group",
                  "m1_skew_cap", "a6_doc_freq_idf"]:
