@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="generate a synthetic corpus with N base entities instead of --input")
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--greedy", action="store_true", help="reference-parity greedy 1:1 resolution")
+    ap.add_argument("--cc-algorithm", default="propagation",
+                    choices=["propagation", "star"],
+                    help="connected-components variant: propagation (1 join/"
+                         "round, O(diameter)) or star (large/small-star, "
+                         "O(log n) — for long-chain components)")
     ap.add_argument("--resume", default=None, help="run_id to resume")
     ap.add_argument("--n-partitions", type=int, default=64,
                     help="lineage partition count (cluster-size independent)")
@@ -51,7 +56,8 @@ def main(argv: list[str] | None = None) -> None:
         transcripts = spark.read.parquet(args.input)
 
     t0 = time.time()
-    cfg = PipelineConfig(threshold=args.threshold, use_greedy_one_to_one=args.greedy)
+    cfg = PipelineConfig(threshold=args.threshold, use_greedy_one_to_one=args.greedy,
+                         cc_algorithm=args.cc_algorithm)
     result = run_pipeline(transcripts, cfg)
 
     # partition everything by the lineage partition key for resumable writes

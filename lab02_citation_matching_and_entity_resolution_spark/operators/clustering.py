@@ -2,21 +2,33 @@
 
 The reference's final resolution is a greedy 1:1 assignment (its degenerate
 clusterer, ref: src/match_utils.py:497-511); the north star requires true
-transitive clustering of match edges.  We use the min-label-propagation
-formulation of connected components:
+transitive clustering of match edges.  Two formulations:
+
+``connected_components`` (default) — min-label propagation:
 
   label(v) <- min(label(v), min over neighbors u of label(u))
 
 iterated to fixpoint: each round is one shuffle join (labels ⋈ edges) + one
-groupBy min — both native, AQE-coalesced.  Convergence in O(log d) rounds for
-diameter d (duplicate clusters are tiny, 2-4 rounds in practice); a hard
-iteration cap fails loudly rather than silently under-merging.
+groupBy min — both native, AQE-coalesced.  The min travels ONE HOP per
+round, so convergence takes O(diameter) rounds — 2-4 in practice for
+ER-sized near-clique duplicate clusters; a hard iteration cap fails loudly
+rather than silently under-merging.
 
-Scale notes (SURVEY §7.4.2): edges are canonicalized (left<right) and
-deduplicated before iterating; each round localCheckpoints the label frame to
-cut lineage growth; giant components (skewed labels) only ever shuffle their
-*edges*, never materialize the component, so skew is bounded by edge count per
-label — acceptable for ER-sized clusters, with AQE skew-join as backstop.
+``connected_components_star`` — alternating large-star/small-star (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14, public
+algorithm): each round rewires every node toward the minimum of its
+neighborhood, halving component depth, so convergence is O(log n) rounds
+REGARDLESS of diameter.  Costs two groupBy+join passes per round (vs one
+for propagation), so it is the opt-in path for pathological long-chain
+components — e.g. near-duplicate chains a..z where consecutive pairs match
+but distant ones don't; on a 300-node path propagation's default cap fails
+while star converges in ~9 rounds (pinned by test).
+
+Scale notes (SURVEY §7.4.2): edges are canonicalized and deduplicated
+before iterating; each round localCheckpoints to cut lineage growth; giant
+components (skewed labels) only ever shuffle their *edges*, never
+materialize the component, so skew is bounded by edge count per label —
+with AQE skew-join as backstop.
 """
 
 from __future__ import annotations
@@ -71,3 +83,96 @@ def connected_components(
         if changed == 0:
             return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
     raise ConvergenceError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(neighborhood(u) ∪ {u})."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("mv")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the larger endpoint; for each node u connect all
+    smaller neighbors (and u itself) to min(smaller-neighborhood(u))."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = o.groupBy("u").agg(F.min("v").alias("mv"))
+    pairs = (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("mv").alias("v")))
+    )
+    return pairs.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Large-star/small-star connected components — same contract as
+    :func:`connected_components` (cluster_id = min member id), O(log n)
+    rounds regardless of component diameter.  The scale path for
+    long-chain components where propagation's O(diameter) bound bites.
+
+    Convergence check: (edge count, bit_xor of xxhash64(u,v)) stable across
+    a round — exact up to a 64-bit hash collision (the edge set is distinct,
+    so xor cancellation needs distinct colliding sets), chosen over a
+    symmetric-difference anti-join because it is one cheap overflow-free
+    aggregate per round on data that is shuffling anyway.
+    """
+    e = (
+        edges.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = e.take(1) == []  # no edges -> nothing to iterate
+    for _ in range(max_iter):
+        if converged:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components_star did not converge in {max_iter} iterations"
+        )
+    # final star forest: every edge is (child, root).  label(u) = min over
+    # incident edges (root for children, min child... never — roots keep
+    # their own id via least(u, min)).
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u"), F.least(F.col("u"), F.col("mv")).alias("label"))
+    )
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).alias("u")).distinct()
+        labels = (
+            verts.join(labels, "u", "left")
+            .select(F.col("u"), F.coalesce("label", F.col("u")).alias("label"))
+        )
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))

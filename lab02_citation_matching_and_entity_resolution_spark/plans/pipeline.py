@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.assemble import assemble_documents
 from ..operators.blocking import BlockingConfig, candidate_pairs
-from ..operators.clustering import connected_components
+from ..operators.clustering import connected_components, connected_components_star
 from ..operators.features import pair_features
 from ..operators.metrics import cluster_quality, pairwise_prf
 from ..operators.resolve import greedy_one_to_one
@@ -41,6 +41,10 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     use_greedy_one_to_one: bool = False  # reference-parity resolution mode
     max_cc_iter: int = 25
+    # "propagation" (default: one join/round, O(diameter) rounds — right for
+    # ER's small near-clique clusters) or "star" (large-star/small-star,
+    # O(log n) rounds regardless of diameter — for long-chain components)
+    cc_algorithm: str = "propagation"
     # TF-IDF fit scope: None = global corpus fit; a doc-column tuple fits the
     # IDF within each group of those columns (the reference's default
     # TFIDF_SCOPE="paper", ref match_utils.py:411-424 — e.g. ("lang",) or a
@@ -79,7 +83,14 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
         )
 
     matches = matches.persist()
-    clusters = connected_components(
+    if cfg.cc_algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown cc_algorithm {cfg.cc_algorithm!r}")
+    cc = (
+        connected_components_star
+        if cfg.cc_algorithm == "star"
+        else connected_components
+    )
+    clusters = cc(
         matches, vertices=docs.select("conv_id"), max_iter=cfg.max_cc_iter
     )
     return PipelineResult(docs, pairs, scored, matches, clusters, block_metrics)

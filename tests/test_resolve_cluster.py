@@ -76,3 +76,66 @@ def test_connected_components_long_chain_converges(spark):
     )
     labels = connected_components(edges)
     assert labels.select("cluster_id").distinct().count() == 1
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    rng = random.Random(3)
+    nodes = [f"v{i:03d}" for i in range(60)]
+    edges_py = list({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)
+    })
+    edges = spark.createDataFrame(edges_py, "left_id string, right_id string")
+    verts = spark.createDataFrame([(n,) for n in nodes], "conv_id string")
+    prop = {
+        (r["conv_id"], r["cluster_id"])
+        for r in connected_components(edges, vertices=verts, max_iter=60).collect()
+    }
+    star = {
+        (r["conv_id"], r["cluster_id"])
+        for r in connected_components_star(edges, vertices=verts).collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_handles_long_chain_where_propagation_cap_fails(spark):
+    """The adversarial case the star variant exists for: a 300-node path.
+    Min-label propagation moves the min ONE hop per round, so the default
+    25-iteration cap fails loudly; large-star/small-star halves depth per
+    round and converges in ~log n rounds."""
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        ConvergenceError,
+        connected_components_star,
+    )
+
+    names = [f"p{i:04d}" for i in range(300)]
+    edges = spark.createDataFrame(
+        list(zip(names, names[1:])), "left_id string, right_id string"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(edges)  # default max_iter=25 < 299-hop diameter
+    labels = connected_components_star(edges, max_iter=15)
+    rows = labels.collect()
+    assert len(rows) == 300
+    assert {r["cluster_id"] for r in rows} == {"p0000"}
+
+
+def test_star_cc_no_edges_all_singletons(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([], "left_id string, right_id string")
+    verts = spark.createDataFrame([("a",), ("b",)], "conv_id string")
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in connected_components_star(edges, vertices=verts).collect()
+    }
+    assert got == {("a", "a"), ("b", "b")}
