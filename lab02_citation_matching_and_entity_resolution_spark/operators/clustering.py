@@ -136,23 +136,29 @@ def connected_components_star(
     symmetric-difference anti-join because it is one cheap overflow-free
     aggregate per round on data that is shuffling anyway.
     """
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = (
         edges.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
-    converged = e.take(1) == []  # no edges -> nothing to iterate
+    # seed the signature from the INPUT (one cheap aggregate on checkpointed
+    # data): an already-converged star forest — or an empty edge set — is
+    # then detected after the single mandatory round instead of two
+    prev_sig = _sig(e)
+    converged = prev_sig[0] == 0  # no edges -> nothing to iterate
     for _ in range(max_iter):
         if converged:
             break
         e = _small_star(_large_star(e)).localCheckpoint()
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
+        sig = _sig(e)
         if sig == prev_sig:
             converged = True
         prev_sig = sig

@@ -647,7 +647,7 @@ _F1F5_PUNCT_SQL = """!"#$%&''()*+,-.;<=>?@[\\]^_`{|}~"""
 q_f1f5_sql = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents
-  WHERE regexp_matches(text, '^[\x20-\x7E\t\n\r]*$')
+  WHERE regexp_matches(text, '^[\x20-\x7E\t\n]*$')
     AND NOT regexp_matches(text, '[\\%{}$\[\]]')
     AND NOT regexp_matches(text, '(?i)keywords:')
     AND NOT contains(text, ''').replace(')
@@ -667,8 +667,10 @@ FROM base
 def f1_f5_normalize_text(spark, sf_dir):
     from .functions.normalize import normalize_text_udf
 
+    # \r is EXCLUDED from the domain (not folded): the kernel deletes it
+    # (normalize.py:142 'foo\rbar'->'foobar') while SQL \s+ would space it
     domain = (
-        F.col("text").rlike(r"^[\x20-\x7E\t\n\r]*$")
+        F.col("text").rlike(r"^[\x20-\x7E\t\n]*$")
         & ~F.col("text").rlike(r"[\\%{}$\[\]]")
         & ~F.col("text").rlike(r"(?i)keywords:")
         & ~F.col("text").contains("').replace(")

@@ -67,8 +67,22 @@ class TableStore:
         w.parquet(self._path(name))
 
     def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None):
-        """S7 append-sink semantics (ref parse_util.py:1575-1581)."""
+        """S7 append-sink semantics (ref parse_util.py:1575-1581).
+
+        Iceberg: the partition SPEC lives on the table, not the write, so the
+        first append of a partitioned table must CREATE it with
+        ``partitionedBy`` — silently dropping ``partition_by`` there would
+        leave every downstream "partition pruning" claim void on exactly the
+        substrate documented as the scale path."""
         if self._use_iceberg():
+            if not self.exists(name):
+                w = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+                if partition_by:
+                    from pyspark.sql.functions import col
+
+                    w = w.partitionedBy(*[col(c) for c in partition_by])
+                w.create()
+                return
             df.writeTo(f"{self.catalog}.{name}").append()
             return
         w = df.write.mode("append")
@@ -135,8 +149,16 @@ class TableStore:
         (the plain parquet ``merge_upsert`` rewrites everything — fine for a
         one-off, a scale bug inside a per-batch streaming loop).
 
-        Iceberg: delegates to MERGE INTO (the engine prunes by partition
-        spec on its own).  Parquet: read ONLY the touched partitions,
+        PRECONDITION (caller's contract, not validated here): partition_col
+        must be a deterministic function of key_cols — a key's new row must
+        land in the same partition as its old row, otherwise the
+        partition-filtered anti-join cannot see the old row and the "upsert"
+        leaves duplicate keys.  The streaming caller satisfies this by
+        construction (conv_bucket = pmod(xxhash64(conv_id), n)).
+
+        Iceberg: MERGE INTO; the bootstrap CREATE declares the partition
+        spec so the engine can prune.  Parquet: read ONLY the touched
+        partitions,
         anti-join out updated keys, union the new rows, localCheckpoint to
         sever lineage from the files about to be replaced (reading lazily
         from a path being overwritten corrupts the table), then
@@ -146,6 +168,16 @@ class TableStore:
         rows, which converges because the merge is idempotent per key.
         """
         if self._use_iceberg():
+            if not self.exists(name):
+                from pyspark.sql.functions import col
+
+                (
+                    df.writeTo(f"{self.catalog}.{name}")
+                    .using("iceberg")
+                    .partitionedBy(col(partition_col))
+                    .create()
+                )
+                return
             self.merge_upsert(df, name, key_cols)
             return
         from pyspark.sql.functions import col

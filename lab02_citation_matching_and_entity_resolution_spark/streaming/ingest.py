@@ -46,6 +46,8 @@ replay test in tests/test_streaming_ingest.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,6 +96,57 @@ def read_transcript_stream(
     return reader.load(path)
 
 
+def _check_bucket_layout(store: TableStore, turns_table: str, n_buckets: int) -> None:
+    """Fail loudly before the first append when the on-disk layout disagrees
+    with this handler's bucketing — both failure modes are SILENT data loss
+    otherwise:
+
+    * bucket-count drift: a restart with a different ``n_buckets`` computes
+      bucket values that miss the stored partitions, so pruned_history
+      reads none of a conversation's old turns and the bucket-filtered
+      upsert anti-join misses its old documents_live row (duplicate keys);
+    * legacy unpartitioned table: appending ``conv_bucket=N/`` files beside
+      root-level data files gives Spark's "conflicting directory
+      structures" read error on every subsequent batch.
+
+    Parquet-path only; on Iceberg the partition spec lives on the table.
+    The bucket count is recorded in ``<root>/<table>.__buckets.json`` on
+    first use.
+    """
+    import json
+
+    if store._use_iceberg():
+        return
+    meta_path = os.path.join(store.root, f"{turns_table}.__buckets.json")
+    if store.exists(turns_table):
+        entries = [
+            n for n in os.listdir(os.path.join(store.root, turns_table))
+            if not n.startswith("_") and not n.startswith(".")
+        ]
+        if entries and not any(n.startswith("conv_bucket=") for n in entries):
+            raise RuntimeError(
+                f"{turns_table} at {store.root} was written UNPARTITIONED by a "
+                "pre-bucketing version of this engine; appending bucketed files "
+                "would corrupt the directory layout. Migrate once: read the "
+                "table, add conv_bucket = pmod(xxhash64(conv_id), n_buckets), "
+                "and rewrite with create_or_replace(partition_by=['conv_bucket'])."
+            )
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded = json.load(f)["n_buckets"]
+        if recorded != n_buckets:
+            raise RuntimeError(
+                f"{turns_table} was bucketed with n_buckets={recorded} but this "
+                f"handler was configured with n_buckets={n_buckets}; mixing "
+                "bucket counts silently loses history in the pruned reads. "
+                "Use the recorded value or migrate the table."
+            )
+    else:
+        os.makedirs(store.root, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+
+
 def incremental_assemble(
     store: TableStore,
     turns_table: str = TURNS_TABLE,
@@ -102,8 +155,13 @@ def incremental_assemble(
 ):
     """foreachBatch handler: append turns (bucket-partitioned), re-assemble
     affected convs from a partition-pruned history read, upsert."""
+    checked = False
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal checked
+        if not checked:
+            _check_bucket_layout(store, turns_table, n_buckets)
+            checked = True
         batch_df = batch_df.withColumn("conv_bucket", conv_bucket_expr(n_buckets)).persist()
         try:
             if not batch_df.take(1):

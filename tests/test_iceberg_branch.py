@@ -76,6 +76,50 @@ def test_catalog_configured_but_unavailable_falls_back(spark, tmp_path):
     df.write.mode.assert_called_once_with("append")
 
 
+def test_iceberg_append_bootstrap_declares_partition_spec(spark):
+    """Iceberg partition SPEC lives on the table: the first append of a
+    partitioned table must CREATE it with partitionedBy — silently dropping
+    partition_by would void every pruning claim on the scale substrate
+    (code-review finding, round 4)."""
+    fake = _fake_spark_with_catalog()
+    fake.catalog.tableExists.return_value = False
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+    store.append(df, "turns_raw", partition_by=["conv_bucket"])
+    chain = df.writeTo.return_value.using
+    chain.assert_called_once_with("iceberg")
+    chain.return_value.partitionedBy.assert_called_once()
+    chain.return_value.partitionedBy.return_value.create.assert_called_once()
+    df.writeTo.return_value.append.assert_not_called()
+    df.write.mode.assert_not_called()
+
+
+def test_iceberg_merge_upsert_partitioned_bootstrap_and_merge(spark):
+    """merge_upsert_partitioned: bootstrap creates WITH the partition spec;
+    existing table goes through the plain MERGE INTO."""
+    fake = _fake_spark_with_catalog()
+    fake.catalog.tableExists.return_value = False
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+    store.merge_upsert_partitioned(
+        df, "documents_live", key_cols=["conv_id"], partition_col="conv_bucket"
+    )
+    chain = df.writeTo.return_value.using
+    chain.assert_called_once_with("iceberg")
+    chain.return_value.partitionedBy.assert_called_once()
+    chain.return_value.partitionedBy.return_value.create.assert_called_once()
+    fake.sql.assert_not_called()
+
+    fake2 = _fake_spark_with_catalog()
+    store2 = TableStore(fake2, "/tmp/unused", catalog="er")
+    df2 = MagicMock()
+    store2.merge_upsert_partitioned(
+        df2, "documents_live", key_cols=["conv_id"], partition_col="conv_bucket"
+    )
+    assert "MERGE INTO er.documents_live t" in fake2.sql.call_args[0][0]
+    df2.write.mode.assert_not_called()
+
+
 def test_iceberg_merge_upsert_issues_merge_into(spark):
     """M8 on a configured catalog must be a real MERGE INTO (update-or-insert
     by key), never the parquet rewrite."""

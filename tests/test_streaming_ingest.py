@@ -194,3 +194,45 @@ def test_docs_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     docs = {r["conv_id"]: r for r in store.read("documents_live").collect()}
     assert set(docs) == {"c1", "c2", "c3"}
     assert docs["c1"]["n_turns"] == 3
+
+
+def test_bucket_count_drift_fails_loudly(spark, tmp_path):
+    """Restarting the handler with a different n_buckets would silently
+    lose history (pruned reads miss the stored partitions) — it must raise
+    instead (code-review finding, round 4)."""
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in TURNS_A],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    incremental_assemble(store)(batch, 0)  # records n_buckets=64
+    with pytest.raises(RuntimeError, match="n_buckets=64"):
+        incremental_assemble(store, n_buckets=32)(batch, 1)
+    # same bucket count restarts fine
+    incremental_assemble(store)(batch, 1)
+
+
+def test_legacy_unpartitioned_turns_table_fails_loudly(spark, tmp_path):
+    """Appending bucketed files beside a pre-bucketing flat turns_raw would
+    give Spark's conflicting-directory-structures error on every later read
+    — the handler must refuse up front with a migration message."""
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in TURNS_A],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    store.append(batch, "turns_raw")  # legacy: unpartitioned
+    with pytest.raises(RuntimeError, match="UNPARTITIONED"):
+        incremental_assemble(store)(batch, 0)
