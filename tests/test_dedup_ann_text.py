@@ -58,6 +58,61 @@ def test_simhash_near_pairs(spark):
     assert (1, 2) in pairs
 
 
+def test_simhash_band_pairs_recall_guarantee_vs_prefix_probe(spark):
+    """Pigeonhole guarantee: with 4 bands, EVERY pair at hamming<=3 shares a
+    whole 16-bit band and must be found — including pairs differing only in
+    the TOP bits, which the single-prefix probe structurally misses."""
+    def s64(x):  # two's-complement wrap into Spark's signed long range
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, s64(base)),
+        (1, s64(base ^ (1 << 63))),            # 1 bit, in the top prefix
+        (2, s64(base ^ (1 << 63) ^ (1 << 0))), # 2 bits, spanning top and bottom
+        (3, s64(base ^ 0b111)),                # 3 bits, bottom band
+        (4, s64(base ^ ((1 << 60) | (1 << 40) | (1 << 20) | (1 << 1)))),  # 4 bits
+    ]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    banded = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in dedup.simhash_band_pairs(sim, max_hamming=3, bands=4).collect()
+    }
+    # every hamming<=3 pair with doc 0 is present, with exact distances
+    assert banded[(0, 1)] == 1
+    assert banded[(0, 2)] == 2
+    assert banded[(0, 3)] == 3
+    assert (0, 4) not in banded  # hamming 4 > max_hamming
+    # exhaustive cross-check: banded == brute-force filter at <=3
+    import itertools
+
+    vals = dict(rows)
+
+    def ham(a, b):  # mask to 64 bits: xor of negative Python ints
+        return bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b): ham(a, b)
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if ham(a, b) <= 3
+    }
+    assert banded == brute
+    # the prefix probe misses the top-bit pairs (documented weakness)
+    prefix = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.simhash_near_pairs(sim, max_hamming=3).collect()
+    }
+    assert (0, 1) not in prefix and (0, 3) in prefix
+
+
+def test_simhash_band_pairs_rejects_bad_bands(spark):
+    import pytest
+
+    sim = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divide 64"):
+        dedup.simhash_band_pairs(sim, bands=5)
+
+
 def test_embedding_near_dup_and_ann(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),
