@@ -66,6 +66,45 @@ def mrr_at_k(
     return float(row["mrr"]) if row["mrr"] is not None else 0.0
 
 
+def blocking_recall(
+    pairs: DataFrame, truth: DataFrame, pass_col: str = "block_passes"
+) -> DataFrame:
+    """Candidate-coverage of labeled true pairs, per blocking pass + overall.
+
+    The blocking-stage observability the north rule's "F1 at shared
+    blocking keys" presumes: a true pair the blocking union misses is
+    unrecoverable downstream no matter how good the scorer is, so this is
+    the first number to look at when e2e recall drops.  ``pairs`` is
+    candidate_pairs output (canonical left<right, ``block_passes`` array);
+    ``truth`` is (left_id, right_id, label), same canonical orientation.
+
+    Returns a tiny frame (block_pass, true_pairs_covered, true_pairs_total,
+    recall) with an ``__overall__`` row — shaped for the metrics sink.
+    """
+    pos = truth.where(F.col("label") == 1).select("left_id", "right_id").distinct()
+    total = pos.count()
+    matched = pairs.select("left_id", "right_id", pass_col).join(
+        pos, ["left_id", "right_id"]
+    )
+    per_pass = (
+        matched.select(F.explode(pass_col).alias("block_pass"))
+        .groupBy("block_pass")
+        .agg(F.count(F.lit(1)).alias("true_pairs_covered"))
+        .collect()
+    )  # tiny: one row per blocking pass
+    overall = matched.count()  # pairs are already distinct on (left, right)
+    rows = sorted(
+        [(r["block_pass"], r["true_pairs_covered"]) for r in per_pass]
+    ) + [("__overall__", overall)]
+    return pairs.sparkSession.createDataFrame(
+        [
+            (name, int(n), int(total), (float(n) / total) if total else 0.0)
+            for name, n in rows
+        ],
+        "block_pass string, true_pairs_covered long, true_pairs_total long, recall double",
+    )
+
+
 def cluster_quality(
     clusters: DataFrame, truth_membership: DataFrame
 ) -> dict[str, float]:

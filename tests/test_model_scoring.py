@@ -401,6 +401,41 @@ def test_adaptive_search_deterministic_and_budgeted(spark, feature_pairs):
         )
 
 
+def test_adaptive_search_parallel_deterministic(spark, feature_pairs):
+    """Adaptive + parallelism>1 (threaded batches): budget respected, no
+    repeated trials, and two identical invocations agree exactly."""
+    from lab02_citation_matching_and_entity_resolution_spark.plans.model import (
+        attach_labels,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        tune_model,
+    )
+
+    labeled = labeled_pairs_df(spark, CFG)
+    data = (
+        attach_labels(feature_pairs, labeled)
+        .withColumn("partition", group_split_col("left_id"))
+        .persist()
+    )
+    train = data.where("partition = 'train'")
+    val = data.where("partition = 'val'")
+    grid = tuple({"reg_param": v} for v in (1e-4, 1e-2, 1e-1, 1.0))
+    _, pa, ra = tune_model(
+        train, val, family="logistic", grid=grid, search="adaptive",
+        n_trials=3, seed=5, parallelism=2,
+    )
+    _, pb, rb = tune_model(
+        train, val, family="logistic", grid=grid, search="adaptive",
+        n_trials=3, seed=5, parallelism=2,
+    )
+    assert [p for p, _ in ra] == [p for p, _ in rb] and pa == pb
+    assert len(ra) == 3
+    keys = [tuple(sorted(p.items())) for p, _ in ra]
+    assert len(set(keys)) == 3
+    best_f1 = max(f1 for _, f1 in ra)
+    assert next(f1 for p, f1 in ra if p == pa) == best_f1
+
+
 def test_balanced_class_weights_fit(spark, feature_pairs):
     """class_weight='balanced' emulation via weightCol (round-2 ADVICE): the
     weighted fit must run and still separate the planted duplicates."""

@@ -39,6 +39,27 @@ def test_end_to_end_f1(spark, corpus):
     assert metrics["clusters"]["f1"] >= 0.99, metrics
 
 
+def test_blocking_recall_audit(spark, corpus):
+    """blocking_recall: the stage-level coverage number e2e F1 presumes —
+    overall recall of labeled true pairs in the candidate set must be ~1
+    on the planted corpus, every per-pass row bounded by it, and the
+    schema shaped for the metrics sink."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.metrics import (
+        blocking_recall,
+    )
+
+    transcripts, _, labeled = corpus
+    result = run_pipeline(transcripts, PipelineConfig())
+    audit = {r["block_pass"]: r for r in blocking_recall(result.pairs, labeled).collect()}
+    overall = audit.pop("__overall__")
+    assert overall["recall"] >= 0.99
+    assert overall["true_pairs_total"] == labeled.where("label = 1").count()
+    assert audit, "expected per-pass rows"
+    for row in audit.values():
+        assert 0.0 <= row["recall"] <= overall["recall"] + 1e-9
+        assert row["true_pairs_covered"] <= overall["true_pairs_covered"]
+
+
 def test_blocking_recall(spark, corpus):
     """Every positive labeled pair must be produced by some blocking pass."""
     transcripts, _, labeled = corpus
