@@ -8,11 +8,18 @@ Usage:
   spark-submit --py-files er_engine.zip -m lab02_..._spark.cli \
       --input /path/transcripts --output /path/er_out \
       [--synthetic N_BASE] [--threshold 0.7] [--resume RUN_ID] [--greedy]
+
+Streaming ingest mode (--stream-input DIR): drain a JSONL turn-record
+directory through the Structured Streaming front (readStream ->
+incremental re-assembly -> partition-bounded upsert of documents_live),
+then exit; the checkpoint lives under <output>/_stream_ckpt, so
+re-invoking after new files arrive processes only the new data.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import uuid
@@ -33,6 +40,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="connected-components variant: propagation (1 join/"
                          "round, O(diameter)) or star (large/small-star, "
                          "O(log n) — for long-chain components)")
+    ap.add_argument("--stream-input", default=None,
+                    help="JSONL turn-record directory: drain it through the "
+                         "streaming ingest front into documents_live, then "
+                         "exit (checkpointed; re-invocation is incremental)")
     ap.add_argument("--resume", default=None, help="run_id to resume")
     ap.add_argument("--n-partitions", type=int, default=64,
                     help="lineage partition count (cluster-size independent)")
@@ -47,6 +58,23 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(app_name="er-pipeline", master=args.master)
     store = TableStore(spark, args.output)
+
+    if args.stream_input:
+        from .streaming.ingest import read_transcript_stream, start_ingest
+
+        ckpt = os.path.join(args.output, "_stream_ckpt")
+        q = start_ingest(read_transcript_stream(spark, args.stream_input), store, ckpt)
+        q.awaitTermination(600)
+        n_turns = store.read("turns_raw").count() if store.exists("turns_raw") else 0
+        n_docs = (
+            store.read("documents_live").count()
+            if store.exists("documents_live")
+            else 0
+        )
+        print(f"stream drained: turns_raw={n_turns} documents_live={n_docs}")
+        spark.stop()
+        return
+
     run_id = args.resume or uuid.uuid4().hex[:12]
     log = LineageLog(store, run_id)
 
