@@ -117,6 +117,41 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def asset_near_dup(
+    assets: DataFrame, threshold: float = 0.95
+) -> tuple[DataFrame, DataFrame]:
+    """Multimodal face of the dedup suite: returns (exact, near).
+
+    exact — byte-identical payload groups (content_hash groupBy, min-id
+    keeper, same contract as dedup.exact_dedup); near — feature-cosine
+    near-duplicates within each ``kind`` block via dedup.embedding_near_dup
+    over the extracted feature vectors.  Composes the binary plumbing with
+    the text-corpus dedup operators unchanged — at scale the feature column
+    comes from a real decoder+model, everything downstream is identical.
+    """
+    from .dedup import embedding_near_dup
+
+    feats = extract_features(assets).persist()
+    exact = (
+        feats.where(F.col("content_hash").isNotNull())
+        .groupBy("content_hash")
+        .agg(
+            F.min("asset_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+    near = embedding_near_dup(
+        feats.where(F.col("feature").isNotNull()).select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("kind"),
+            F.col("feature").cast("array<double>").alias("embedding"),
+        ),
+        threshold=threshold,
+        block_expr=F.col("kind"),
+    )
+    return exact, near
+
+
 def synthetic_assets(spark, n: int = 32) -> DataFrame:
     """Deterministic fake asset table for tests (payload = seeded bytes)."""
     rows = []

@@ -27,3 +27,27 @@ def test_frame_sample_plan(spark):
     videos = [r for r in assets.collect() if r["kind"] == "video"]
     # duration 3000ms, every 1000ms inclusive -> 4 frames per video
     assert len(frames) == len(videos) * 4
+
+
+def test_asset_near_dup_exact_and_cosine(spark):
+    """Plant a byte-identical duplicate pair: it must appear both as an
+    exact group (size 2, min-id keeper) and as a cosine-1.0 near pair in
+    the same kind block."""
+    from pyspark.sql import functions as F
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.multimodal import (
+        asset_near_dup,
+    )
+
+    assets = synthetic_assets(spark, n=9)
+    dup = assets.where(F.col("asset_id") == "a0000").select(
+        F.lit("a9999").alias("asset_id"), "kind", "payload",
+        "media_type", "width", "height", "duration_ms",
+    )
+    exact, near = asset_near_dup(assets.unionByName(dup), threshold=0.999)
+    groups = {r["keeper_id"]: r["group_size"] for r in exact.collect()}
+    assert groups["a0000"] == 2  # the planted byte-dup, min-id keeper
+    assert all(v == 1 for k, v in groups.items() if k != "a0000")
+    pairs = {(r["left_id"], r["right_id"]): r["cosine"] for r in near.collect()}
+    assert pairs[("a0000", "a9999")] == 1.0
+    assert len(pairs) == 1  # distinct sha-derived features are near-orthogonal
