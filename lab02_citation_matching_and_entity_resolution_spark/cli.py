@@ -64,7 +64,15 @@ def main(argv: list[str] | None = None) -> None:
 
         ckpt = os.path.join(args.output, "_stream_ckpt")
         q = start_ingest(read_transcript_stream(spark, args.stream_input), store, ckpt)
-        q.awaitTermination(600)
+        drained = q.awaitTermination(600)
+        if not drained:
+            # timeout: counts would be mid-drain lies and spark.stop() would
+            # kill an active batch — stop the query cleanly and fail loudly
+            q.stop()
+            print("stream drain TIMED OUT after 600s — partial state, re-run "
+                  "to resume from checkpoint", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
         n_turns = store.read("turns_raw").count() if store.exists("turns_raw") else 0
         n_docs = (
             store.read("documents_live").count()

@@ -297,14 +297,34 @@ def simhash_band_pairs(
     ``bands - 1`` bits MUST agree on at least one whole band, so recall is
     100% for hamming <= bands-1 (the defaults guarantee max_hamming=3).
 
+    Guarantee scope — two honest caveats:
+
+    * it holds for UNCAPPED buckets; rows dropped by ``block_cap`` in a hot
+      bucket can lose pairs whose only shared band was the capped one.  The
+      drops are deterministic and recorded in the audit frame
+      (``return_metrics=True``) — an empty audit certifies the guarantee
+      held exactly; ``block_cap=None`` trades the quadratic risk for it
+      unconditionally.
+    * ``max_hamming > bands - 1`` still finds pairs but with NO guarantee
+      (a warning is emitted).
+
     This is the primary near-dup pass; :func:`simhash_near_pairs` (single
     top-prefix probe) measured ~12% recall at hamming<=8 on the synthetic
     corpus — fine as a cheap pre-screen, wrong as the only pass.  Same
     ``block_cap`` discipline as every self-joining dedup operator (hot band
     buckets are md5(id)-rank-capped, audited, engine-portable).
     """
-    if 64 % bands != 0:
-        raise ValueError(f"bands={bands} must divide 64")
+    if bands < 2 or bands > 64 or 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64 and be in [2, 64]")
+    if max_hamming > bands - 1:
+        warnings.warn(
+            f"simhash_band_pairs: max_hamming={max_hamming} exceeds "
+            f"bands-1={bands - 1} — the pigeonhole recall guarantee does NOT "
+            "cover this range (pairs can differ in every band); raise bands "
+            "or treat the result as a best-effort screen",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
     # arithmetic >> then & mask == logical band extraction (sign bits masked)

@@ -83,19 +83,28 @@ def blocking_recall(
     """
     pos = truth.where(F.col("label") == 1).select("left_id", "right_id").distinct()
     total = pos.count()
-    matched = pairs.select("left_id", "right_id", pass_col).join(
-        pos, ["left_id", "right_id"]
-    )
-    per_pass = (
-        matched.select(F.explode(pass_col).alias("block_pass"))
-        .groupBy("block_pass")
-        .agg(F.count(F.lit(1)).alias("true_pairs_covered"))
-        .collect()
-    )  # tiny: one row per blocking pass
-    overall = matched.count()  # pairs are already distinct on (left, right)
-    rows = sorted(
-        [(r["block_pass"], r["true_pairs_covered"]) for r in per_pass]
-    ) + [("__overall__", overall)]
+    # dropDuplicates guards against a caller passing a pre-dedup pass union
+    # (double-counting would silently report recall > 1); the synthetic
+    # "__overall__" pass rides the same explode so the expensive pairs⋈truth
+    # join runs in ONE action, not two
+    counts = {
+        r["block_pass"]: r["n"]
+        for r in (
+            pairs.select("left_id", "right_id", pass_col)
+            .dropDuplicates(["left_id", "right_id"])
+            .join(pos, ["left_id", "right_id"])
+            .select(
+                F.explode(
+                    F.concat(F.col(pass_col), F.array(F.lit("__overall__")))
+                ).alias("block_pass")
+            )
+            .groupBy("block_pass")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }  # tiny: one row per blocking pass
+    overall = counts.pop("__overall__", 0)
+    rows = sorted(counts.items()) + [("__overall__", overall)]
     return pairs.sparkSession.createDataFrame(
         [
             (name, int(n), int(total), (float(n) / total) if total else 0.0)

@@ -128,10 +128,16 @@ def asset_near_dup(
     over the extracted feature vectors.  Composes the binary plumbing with
     the text-corpus dedup operators unchanged — at scale the feature column
     comes from a real decoder+model, everything downstream is identical.
+
+    Both outputs are LAZY plans over the same extract_features frame; a
+    caller materializing both should persist the feature frame itself
+    (``extract_features(assets).persist()`` + build the two aggregates on
+    that) — persisting here would pin executor storage with no handle for
+    the caller to release.
     """
     from .dedup import embedding_near_dup
 
-    feats = extract_features(assets).persist()
+    feats = extract_features(assets)
     exact = (
         feats.where(F.col("content_hash").isNotNull())
         .groupBy("content_hash")

@@ -28,10 +28,17 @@ def corpus(spark):
     return transcripts, truth, pairs
 
 
-def test_end_to_end_f1(spark, corpus):
-    transcripts, truth, labeled = corpus
-    result = run_pipeline(transcripts, PipelineConfig())
-    metrics = evaluate(result, labeled, truth)
+@pytest.fixture(scope="module")
+def default_result(spark, corpus):
+    # run the default-config pipeline ONCE for every test that inspects it
+    # (it is the slowest stage of the module)
+    transcripts, _, _ = corpus
+    return run_pipeline(transcripts, PipelineConfig())
+
+
+def test_end_to_end_f1(spark, corpus, default_result):
+    _, truth, labeled = corpus
+    metrics = evaluate(default_result, labeled, truth)
     # north rule: pairwise F1 >= 0.99 on labeled pairs at shared blocking keys
     assert metrics["pairs"]["recall"] >= 0.99, metrics
     assert metrics["pairs"]["f1"] >= 0.99, metrics
@@ -39,7 +46,7 @@ def test_end_to_end_f1(spark, corpus):
     assert metrics["clusters"]["f1"] >= 0.99, metrics
 
 
-def test_blocking_recall_audit(spark, corpus):
+def test_blocking_recall_audit(spark, corpus, default_result):
     """blocking_recall: the stage-level coverage number e2e F1 presumes —
     overall recall of labeled true pairs in the candidate set must be ~1
     on the planted corpus, every per-pass row bounded by it, and the
@@ -48,9 +55,8 @@ def test_blocking_recall_audit(spark, corpus):
         blocking_recall,
     )
 
-    transcripts, _, labeled = corpus
-    result = run_pipeline(transcripts, PipelineConfig())
-    audit = {r["block_pass"]: r for r in blocking_recall(result.pairs, labeled).collect()}
+    _, _, labeled = corpus
+    audit = {r["block_pass"]: r for r in blocking_recall(default_result.pairs, labeled).collect()}
     overall = audit.pop("__overall__")
     assert overall["recall"] >= 0.99
     assert overall["true_pairs_total"] == labeled.where("label = 1").count()
