@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Reference block cap (MAX_REFS = MAX_BIBS = 200); see entry() docstring.
+_ENTRY_BLOCK_CAP = 200
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: near-duplicate document detection over sf0.001.
@@ -25,9 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
     normalized-Levenshtein + token-Jaccard, thresholds, and returns the
     candidate duplicate pairs — the engine's core ER slice on the driver's
     documents table.
+
+    The within-block self-join rides the engine's skew-cap discipline
+    (blocking._cap_block): at most ``_ENTRY_BLOCK_CAP`` docs per (lang,
+    source) block, md5/xxhash-ranked deterministically — the same rule every
+    dedup operator enforces (no uncapped within-block cross join anywhere,
+    including this demo).  At sf0.001 every block is far below the cap, so
+    the output is identical to the uncapped join (pinned by test).
     """
     from pyspark.sql import functions as F
 
+    from lab02_citation_matching_and_entity_resolution_spark.operators.blocking import (
+        _cap_block,
+    )
     from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
         jaccard_col,
         levenshtein_sim_col,
@@ -40,14 +53,27 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text"),
         F.array_distinct(F.split("text", " ")).alias("tokens"),
     )
-    a = docs.select(
+    # cap key is computed from (lang, source) with null markers so capping
+    # groups exactly like the join below (which, like any equi-join, drops
+    # null keys); the key column itself never leaves this function
+    keyed = docs.withColumn(
+        "_blk",
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("lang"), F.lit("\x00")),
+            F.coalesce(F.col("source"), F.lit("\x00")),
+        ),
+    )
+    capped, _ = _cap_block(keyed, "_blk", _ENTRY_BLOCK_CAP, seed=23120334, id_col="doc_id")
+    capped = capped.drop("_blk")
+    a = capped.select(
         "lang",
         "source",
         F.col("doc_id").alias("left_id"),
         F.col("text").alias("l_text"),
         F.col("tokens").alias("l_tokens"),
     )
-    b = docs.select(
+    b = capped.select(
         "lang",
         "source",
         F.col("doc_id").alias("right_id"),

@@ -56,7 +56,9 @@ def _canonical_pairs(joined: DataFrame, pass_name: str) -> DataFrame:
     ).where(F.col("left_id") != F.col("right_id"))
 
 
-def _cap_block(df: DataFrame, key: str, cap: int, seed: int) -> tuple[DataFrame, DataFrame]:
+def _cap_block(
+    df: DataFrame, key: str, cap: int, seed: int, id_col: str = "conv_id"
+) -> tuple[DataFrame, DataFrame]:
     """Deterministically keep at most ``cap`` rows per block key.
 
     Ranking is by xxhash64(id, seed) — stable under any partitioning/row
@@ -67,7 +69,7 @@ def _cap_block(df: DataFrame, key: str, cap: int, seed: int) -> tuple[DataFrame,
     ranked = df.withColumn(
         "_rk",
         F.row_number().over(
-            Window.partitionBy(key).orderBy(F.xxhash64("conv_id", F.lit(seed)), "conv_id")
+            Window.partitionBy(key).orderBy(F.xxhash64(id_col, F.lit(seed)), id_col)
         ),
     )
     capped = ranked.where(F.col("_rk") <= cap).drop("_rk")

@@ -32,6 +32,13 @@ RESOLVE_SCHEMA = StructType(
     ]
 )
 
+# Safety net, not a tuning knob: the blocking stage's skew caps (reference
+# MAX_REFS=MAX_BIBS=200, ref: src/match_utils.py:592-595 -> <=19,900 pairs
+# per block) keep real blocks orders of magnitude below this.  A block this
+# size reaching the greedy loop means an uncapped upstream — fail loudly
+# rather than let one applyInPandas task straggle/OOM at scale.
+DEFAULT_MAX_BLOCK_PAIRS = 2_000_000
+
 
 def _greedy_block(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(
@@ -53,11 +60,30 @@ def greedy_one_to_one(
     scored_pairs: DataFrame,
     threshold: float,
     block_col: str = "block_key",
+    max_block_pairs: int | None = DEFAULT_MAX_BLOCK_PAIRS,
 ) -> DataFrame:
-    """Per-block greedy 1:1 matching of pairs with score >= threshold."""
+    """Per-block greedy 1:1 matching of pairs with score >= threshold.
+
+    ``max_block_pairs`` is a loud executor-side guard: each block is one
+    applyInPandas task, so an unbounded block (an uncapped caller) becomes a
+    single-task straggler or OOM at scale.  The check runs inside the pandas
+    function — zero extra Spark jobs — and raises with the offending block
+    key.  ``None`` disables (caller certifies its own capping)."""
     pruned = scored_pairs.select(
         block_col, "left_id", "right_id", "score"
     ).where(scored_pairs["score"] >= threshold)
-    return pruned.groupBy(block_col).applyInPandas(
-        lambda pdf: _greedy_block(pdf), schema=RESOLVE_SCHEMA
-    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_block_pairs is not None and len(pdf) > max_block_pairs:
+            key = pdf[block_col].iloc[0] if len(pdf) else "?"
+            raise ValueError(
+                f"greedy_one_to_one: block {key!r} has {len(pdf)} pairs > "
+                f"max_block_pairs={max_block_pairs}. The blocking stage's skew "
+                "caps (reference 200x200, src/match_utils.py:592-595) bound "
+                "blocks far below this — cap candidate generation upstream "
+                "(blocking.candidate_pairs / _cap_block) or pass a larger "
+                "max_block_pairs / None to certify this block is intentional."
+            )
+        return _greedy_block(pdf)
+
+    return pruned.groupBy(block_col).applyInPandas(run, schema=RESOLVE_SCHEMA)

@@ -526,3 +526,89 @@ def test_tune_parallelism_matches_sequential(spark, feature_pairs):
     _, p_par, r_par = tune_model(train, val, family="rf", grid=grid, parallelism=2)
     assert p_par == p_seq
     assert [(p, round(f, 6)) for p, f in r_par] == [(p, round(f, 6)) for p, f in r_seq]
+
+
+def test_sigmoid_fast_path_matches_ml_pipeline(spark, feature_pairs):
+    """The production M6 fast path (broadcast weights -> pure-column sigmoid,
+    scoring.py logistic_weights_scorer/sigmoid_score_col) must produce the
+    SAME probabilities as the ML-pipeline path on the same rows: a transposed
+    coefficient order, a dropped intercept, or an na.fill mismatch would ship
+    silently wrong scores while every throughput bench still passes."""
+    from pyspark.ml.functions import vector_to_array
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        fit_logistic,
+        logistic_weights_scorer,
+        sigmoid_score_col,
+    )
+
+    labeled = feature_pairs.withColumn(
+        "label", (F.col("tfidf_cosine") >= 0.3).cast("int")
+    )
+    n_classes = labeled.select("label").distinct().count()
+    assert n_classes == 2, "pseudo-label threshold degenerate on this corpus"
+    model = fit_logistic(labeled, "label")
+
+    w, b = logistic_weights_scorer(model)
+    # UNROUNDED parity: the pipeline path's public model_score rounds to 6dp,
+    # so compare the raw probability column against the raw sigmoid
+    scored = model.transform(
+        feature_pairs.na.fill(0, subset=FEATURE_COLS)
+    ).withColumn("p_pipeline", vector_to_array("probability")[1]).withColumn(
+        "p_fast", sigmoid_score_col(w, b)
+    )
+    agg = scored.agg(
+        F.max(F.abs(F.col("p_pipeline") - F.col("p_fast"))).alias("max_diff"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["n"] > 100
+    assert agg["max_diff"] < 1e-9, f"fast path diverges: max abs diff {agg['max_diff']}"
+
+    # identical rank order (ties broken by pair id on both sides)
+    rows = scored.select("left_id", "right_id", "p_pipeline", "p_fast").collect()
+    order_pipeline = [
+        (r["left_id"], r["right_id"])
+        for r in sorted(rows, key=lambda r: (-r["p_pipeline"], r["left_id"], r["right_id"]))
+    ]
+    order_fast = [
+        (r["left_id"], r["right_id"])
+        for r in sorted(rows, key=lambda r: (-r["p_fast"], r["left_id"], r["right_id"]))
+    ]
+    assert order_pipeline == order_fast
+
+
+def test_sigmoid_fast_path_canary_catches_permuted_weights(spark, feature_pairs):
+    """FEATURE_COLS-order canary: the fast path zips weights with FEATURE_COLS
+    positionally, so a permuted coefficient vector MUST be detected by the
+    parity assertion above — this pins that the test has teeth."""
+    from pyspark.ml.functions import vector_to_array
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        fit_logistic,
+        logistic_weights_scorer,
+        sigmoid_score_col,
+    )
+
+    labeled = feature_pairs.withColumn(
+        "label", (F.col("tfidf_cosine") >= 0.3).cast("int")
+    )
+    model = fit_logistic(labeled, "label")
+    w, b = logistic_weights_scorer(model)
+    assert len(w) == len(FEATURE_COLS)
+    assert len(set(round(x, 12) for x in w)) > 1, "degenerate equal weights"
+    permuted = list(reversed(w))
+    scored = model.transform(
+        feature_pairs.na.fill(0, subset=FEATURE_COLS)
+    ).withColumn("p_pipeline", vector_to_array("probability")[1]).withColumn(
+        "p_wrong", sigmoid_score_col(permuted, b)
+    )
+    max_diff = scored.agg(
+        F.max(F.abs(F.col("p_pipeline") - F.col("p_wrong")))
+    ).collect()[0][0]
+    assert max_diff > 1e-6, "canary failed: permuted weights were not detected"

@@ -139,3 +139,64 @@ def test_star_cc_no_edges_all_singletons(spark):
         for r in connected_components_star(edges, vertices=verts).collect()
     }
     assert got == {("a", "a"), ("b", "b")}
+
+
+def test_greedy_matches_independent_python_impl(spark, sf_dir):
+    """Cross-implementation witness for the registry's only oracle-less row
+    (j6_greedy_one_to_one): a plain-Python greedy — an independent
+    reimplementation of the reference loop (src/match_utils.py:497-511) with
+    the same (-score, left_id, right_id) order — over the COLLECTED catalog
+    input must agree exactly with the distributed applyInPandas output.
+    Two independent implementations agreeing replaces the missing SQL oracle."""
+    from lab02_citation_matching_and_entity_resolution_spark.queries_catalog_ext import (
+        j6_greedy_one_to_one,
+    )
+
+    got = {
+        (r["block_key"], r["left_id"], r["right_id"], r["score"])
+        for r in j6_greedy_one_to_one(spark, sf_dir).collect()
+    }
+
+    # independent implementation: collect the same pruned input (bounded —
+    # sf0.001/sf0.01 scale), group in plain Python, run the reference greedy
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string").alias("block_key"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("left_id"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("right_id"),
+        (F.col("l_discount") * 10).alias("score"),
+    )
+    rows = li.where(F.col("score") >= 0.2).collect()
+    assert len(rows) > 1000  # non-vacuous witness
+    by_block: dict[str, list] = {}
+    for r in rows:
+        by_block.setdefault(r["block_key"], []).append(r)
+    expected = set()
+    for bk, blk in by_block.items():
+        blk.sort(key=lambda r: (-r["score"], r["left_id"], r["right_id"]))
+        used_l, used_r = set(), set()
+        for r in blk:
+            if r["left_id"] in used_l or r["right_id"] in used_r:
+                continue
+            used_l.add(r["left_id"])
+            used_r.add(r["right_id"])
+            expected.add((bk, r["left_id"], r["right_id"], r["score"]))
+    assert got == expected
+
+
+def test_greedy_oversized_block_fails_loudly(spark):
+    """An uncapped caller handing greedy_one_to_one an unbounded block is a
+    one-task straggler/OOM at scale — the executor-side guard must raise with
+    the block key, not silently grind."""
+    import pytest
+
+    rows = [
+        ("big", f"a{i}", f"b{j}", 0.9) for i in range(5) for j in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "block_key string, left_id string, right_id string, score double"
+    )
+    with pytest.raises(Exception, match="max_block_pairs"):
+        greedy_one_to_one(df, threshold=0.5, max_block_pairs=10).collect()
+    # same data under the default guard (2M) passes untouched
+    ok = greedy_one_to_one(df, threshold=0.5).collect()
+    assert len(ok) == 5
