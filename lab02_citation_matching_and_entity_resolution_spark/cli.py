@@ -35,11 +35,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="generate a synthetic corpus with N base entities instead of --input")
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--greedy", action="store_true", help="reference-parity greedy 1:1 resolution")
-    ap.add_argument("--cc-algorithm", default="propagation",
-                    choices=["propagation", "star"],
-                    help="connected-components variant: propagation (1 join/"
-                         "round, O(diameter)) or star (large/small-star, "
-                         "O(log n) — for long-chain components)")
+    ap.add_argument("--cc-algorithm", default="auto",
+                    choices=["auto", "propagation", "star"],
+                    help="connected-components variant: auto (propagation "
+                         "with one-shot star fallback on non-convergence; "
+                         "default), propagation (1 join/round, O(diameter)) "
+                         "or star (large/small-star, O(log n) — for "
+                         "long-chain components)")
     ap.add_argument("--stream-input", default=None,
                     help="JSONL turn-record directory: drain it through the "
                          "streaming ingest front into documents_live, then "
@@ -130,6 +132,11 @@ def main(argv: list[str] | None = None) -> None:
             (0, "clusters", float(n_clusters)),
             (0, "wall_sec", wall),
             (0, "pairs_per_sec", n_pairs / wall if wall > 0 else 0.0),
+            # clustering observability: which CC variant actually ran and
+            # whether auto fell back to star (the lineage record the fallback
+            # design promises)
+            (0, "cc_rounds", float(result.cc_stats.get("rounds") or 0)),
+            (0, "cc_fallback_to_star", 1.0 if result.cc_stats.get("fallback") else 0.0),
         ],
     )
     print(

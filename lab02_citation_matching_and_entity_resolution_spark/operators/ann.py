@@ -171,15 +171,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     refine: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-blocked approximate top-k: join items and queries on cell_id only.
 
     ``refine`` > 0 runs that many Lloyd re-centering rounds over the seeds
     (production path; the oracled catalog query keeps refine=0 for
-    engine-exact centroids)."""
-    cents = seed_centroids(items, n_cells, id_col, vec_col)  # local relation, broadcast below
-    if refine:
-        cents = refine_centroids(items, cents, rounds=refine, id_col=id_col, vec_col=vec_col)
+    engine-exact centroids).  ``centroids`` short-circuits seeding/refining
+    with a prebuilt (cell_id, centroid, cnorm) frame — callers probing
+    multiple n_probe values (e.g. ivf_recall_audit) build the index once."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = seed_centroids(items, n_cells, id_col, vec_col)  # local relation, broadcast below
+        if refine:
+            cents = refine_centroids(items, cents, rounds=refine, id_col=id_col, vec_col=vec_col)
     it = assign_cells(items, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
         vec_col, "iv"
     )
@@ -204,4 +210,90 @@ def ivf_topk(
         .agg(F.max("cosine").alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
+    )
+
+
+def ivf_recall_audit(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probes: tuple[int, ...] = (1, 2, 4),
+    sample_queries: int = 32,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Runtime recall observability for IVF callers — the same audit-frame
+    discipline as the blocking-recall and skew-cap audits (no silent
+    approximation): measure recall@k of ivf_topk against brute-force on a
+    deterministic sample of queries, one row per probed n_probe.
+
+    Sampling is md5-ranked (order-free, engine-portable) and bounded by
+    ``sample_queries``; brute force runs ONCE on the sample (broadcast
+    queries, items stream through), the IVF index is built ONCE and reused
+    across all n_probe values.  Cost: one brute-force pass over items plus
+    len(n_probes) cell-join probes — all on the bounded sample.
+
+    Returns (n_probe, k, n_queries, mean_recall, min_recall), tiny — shaped
+    for the lineage metrics sink.
+    """
+    sampled = (
+        queries.select(
+            F.md5(F.col(query_id_col).cast("string")).alias("_m"),
+            query_id_col,
+            vec_col,
+        )
+        .orderBy("_m", query_id_col)   # TakeOrderedAndProject — no SinglePartition
+        .limit(sample_queries)
+        .drop("_m")
+    )
+    truth = brute_force_topk(
+        items, sampled, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    ).select(query_id_col, id_col)
+    truth = truth.persist()
+    n_queries = truth.select(query_id_col).distinct().count()
+
+    cents = seed_centroids(items, n_cells, id_col, vec_col)
+    if refine:
+        cents = refine_centroids(items, cents, rounds=refine, id_col=id_col, vec_col=vec_col)
+
+    rows = []
+    for n_probe in n_probes:
+        approx = ivf_topk(
+            items, sampled, k=k, n_cells=n_cells, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            centroids=cents,
+        ).select(query_id_col, id_col)
+        per_query = (
+            truth.join(approx, [query_id_col, id_col], "left_semi")
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        # queries whose ENTIRE truth set was missed produce no row — the
+        # right join base is the truth-side query list
+        agg = (
+            truth.select(query_id_col).distinct()
+            .join(per_query, query_id_col, "left")
+            .fillna({"hits": 0})
+            .agg(
+                F.avg(F.col("hits") / F.lit(k)).alias("mean_recall"),
+                F.min(F.col("hits") / F.lit(k)).alias("min_recall"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (
+                int(n_probe),
+                int(k),
+                int(n_queries),
+                float(agg["mean_recall"] or 0.0),
+                float(agg["min_recall"] or 0.0),
+            )
+        )
+    truth.unpersist()
+    return items.sparkSession.createDataFrame(
+        rows,
+        "n_probe int, k int, n_queries int, mean_recall double, min_recall double",
     )

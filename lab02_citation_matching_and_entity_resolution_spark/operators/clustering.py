@@ -46,9 +46,13 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 25,
     id_col: str = "conv_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edges (left_id, right_id) -> (conv_id, cluster_id) with cluster_id =
-    min member id of the component.  ``vertices`` adds singletons."""
+    min member id of the component.  ``vertices`` adds singletons.
+
+    ``stats`` (optional dict) receives {"rounds": n} — observability for the
+    rehearsal/metrics sinks without changing the return contract."""
     sym = (
         edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
         .unionByName(
@@ -65,7 +69,7 @@ def connected_components(
         verts = sym.select("src").distinct()
     labels = verts.withColumn("label", F.col("src")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # candidate labels flowing along edges
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("src", "dst_v"), sym.dst == F.col("dst_v"))
@@ -81,7 +85,11 @@ def connected_components(
         changed = joined.where(F.col("new_label") != F.col("label")).limit(1).count()
         labels = joined.select("src", F.col("new_label").alias("label")).localCheckpoint()
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
+    if stats is not None:
+        stats["rounds"] = max_iter
     raise ConvergenceError(f"connected_components did not converge in {max_iter} iterations")
 
 
@@ -124,6 +132,7 @@ def connected_components_star(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     id_col: str = "conv_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components — same contract as
     :func:`connected_components` (cluster_id = min member id), O(log n)
@@ -154,14 +163,18 @@ def connected_components_star(
     # then detected after the single mandatory round instead of two
     prev_sig = _sig(e)
     converged = prev_sig[0] == 0  # no edges -> nothing to iterate
+    rounds = 0
     for _ in range(max_iter):
         if converged:
             break
         e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
         sig = _sig(e)
         if sig == prev_sig:
             converged = True
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise ConvergenceError(
             f"connected_components_star did not converge in {max_iter} iterations"
@@ -182,3 +195,51 @@ def connected_components_star(
             .select(F.col("u"), F.coalesce("label", F.col("u")).alias("label"))
         )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 25,
+    id_col: str = "conv_id",
+    star_max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Propagation first, star on non-convergence — the right default when
+    component shapes are unknown.
+
+    ER duplicate clusters are near-cliques (diameter 2-4), so min-label
+    propagation — one join per round — converges in a handful of rounds and
+    is the cheap common case.  A pathological long-chain component blows its
+    O(diameter) bound; instead of failing the run, fall back ONCE to
+    large-star/small-star (O(log n) rounds regardless of diameter) and record
+    the fallback in ``stats`` so callers can surface it to their metrics
+    sink.  Deterministic: both algorithms produce cluster_id = min member id,
+    so the fallback changes cost, never output.
+
+    stats keys: algorithm ("propagation"|"star"), rounds, fallback (bool).
+    """
+    stats_local: dict = {}
+    try:
+        out = connected_components(
+            edges, vertices=vertices, max_iter=max_iter, id_col=id_col, stats=stats_local
+        )
+        if stats is not None:
+            stats.update(
+                algorithm="propagation", rounds=stats_local.get("rounds"), fallback=False
+            )
+        return out
+    except ConvergenceError:
+        star_stats: dict = {}
+        out = connected_components_star(
+            edges, vertices=vertices, max_iter=star_max_iter, id_col=id_col,
+            stats=star_stats,
+        )
+        if stats is not None:
+            stats.update(
+                algorithm="star",
+                rounds=star_stats.get("rounds"),
+                fallback=True,
+                propagation_rounds_spent=stats_local.get("rounds"),
+            )
+        return out

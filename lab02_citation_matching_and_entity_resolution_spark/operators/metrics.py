@@ -83,23 +83,27 @@ def blocking_recall(
     """
     pos = truth.where(F.col("label") == 1).select("left_id", "right_id").distinct()
     total = pos.count()
-    # dropDuplicates guards against a caller passing a pre-dedup pass union
-    # (double-counting would silently report recall > 1); the synthetic
-    # "__overall__" pass rides the same explode so the expensive pairs⋈truth
-    # join runs in ONE action, not two
+    # explode the pass array FIRST, then count DISTINCT pairs per pass: a
+    # pre-dedup pass union (multiple rows per pair, each with its own
+    # block_passes array) then attributes a pair to the UNION of its rows'
+    # passes instead of an arbitrary surviving row's array (round-4 ADVICE —
+    # dropDuplicates-then-explode undercounted nondeterministically).  The
+    # synthetic "__overall__" pass rides the same explode so the expensive
+    # pairs⋈truth join runs in ONE action, not two
     counts = {
         r["block_pass"]: r["n"]
         for r in (
             pairs.select("left_id", "right_id", pass_col)
-            .dropDuplicates(["left_id", "right_id"])
             .join(pos, ["left_id", "right_id"])
             .select(
+                "left_id",
+                "right_id",
                 F.explode(
                     F.concat(F.col(pass_col), F.array(F.lit("__overall__")))
-                ).alias("block_pass")
+                ).alias("block_pass"),
             )
             .groupBy("block_pass")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.countDistinct("left_id", "right_id").alias("n"))
             .collect()
         )
     }  # tiny: one row per blocking pass

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from ..operators.assemble import assemble_documents
 from ..operators.blocking import BlockingConfig, candidate_pairs
-from ..operators.clustering import connected_components, connected_components_star
+from ..operators.clustering import (
+    connected_components,
+    connected_components_auto,
+    connected_components_star,
+)
 from ..operators.features import pair_features
 from ..operators.metrics import cluster_quality, pairwise_prf
 from ..operators.resolve import greedy_one_to_one
@@ -41,10 +45,12 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     use_greedy_one_to_one: bool = False  # reference-parity resolution mode
     max_cc_iter: int = 25
-    # "propagation" (default: one join/round, O(diameter) rounds — right for
-    # ER's small near-clique clusters) or "star" (large-star/small-star,
-    # O(log n) rounds regardless of diameter — for long-chain components)
-    cc_algorithm: str = "propagation"
+    # "auto" (default: propagation, falling back ONCE to star on
+    # non-convergence — right when component shapes are unknown),
+    # "propagation" (one join/round, O(diameter) rounds — ER's near-clique
+    # clusters; fails loudly on long chains) or "star" (large-star/small-star,
+    # O(log n) rounds regardless of diameter)
+    cc_algorithm: str = "auto"
     # TF-IDF fit scope: None = global corpus fit; a doc-column tuple fits the
     # IDF within each group of those columns (the reference's default
     # TFIDF_SCOPE="paper", ref match_utils.py:411-424 — e.g. ("lang",) or a
@@ -60,6 +66,9 @@ class PipelineResult:
     matches: DataFrame
     clusters: DataFrame
     block_metrics: DataFrame
+    # clustering observability: {"algorithm", "rounds", "fallback"} — filled
+    # by run_pipeline so callers can log the star fallback to their lineage
+    cc_stats: dict = field(default_factory=dict)
 
 
 def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
@@ -83,17 +92,24 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
         )
 
     matches = matches.persist()
-    if cfg.cc_algorithm not in ("propagation", "star"):
+    if cfg.cc_algorithm not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown cc_algorithm {cfg.cc_algorithm!r}")
-    cc = (
-        connected_components_star
-        if cfg.cc_algorithm == "star"
-        else connected_components
-    )
+    cc_stats: dict = {}
+    cc = {
+        "auto": connected_components_auto,
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }[cfg.cc_algorithm]
     clusters = cc(
-        matches, vertices=docs.select("conv_id"), max_iter=cfg.max_cc_iter
+        matches, vertices=docs.select("conv_id"), max_iter=cfg.max_cc_iter,
+        stats=cc_stats,
     )
-    return PipelineResult(docs, pairs, scored, matches, clusters, block_metrics)
+    if cfg.cc_algorithm != "auto":
+        cc_stats.setdefault("algorithm", cfg.cc_algorithm)
+        cc_stats.setdefault("fallback", False)
+    return PipelineResult(
+        docs, pairs, scored, matches, clusters, block_metrics, cc_stats=cc_stats
+    )
 
 
 def evaluate(result: PipelineResult, labeled_pairs: DataFrame, truth_membership: DataFrame) -> dict:

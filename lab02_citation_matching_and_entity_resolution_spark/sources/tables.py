@@ -20,6 +20,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _sql_literal(v) -> str:
+    """SQL literal for a partition value (int/float/bool/str)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     return bool(
         spark.conf.get("spark.sql.catalog.spark_catalog", None)
@@ -156,8 +165,14 @@ class TableStore:
         leaves duplicate keys.  The streaming caller satisfies this by
         construction (conv_bucket = pmod(xxhash64(conv_id), n)).
 
-        Iceberg: MERGE INTO; the bootstrap CREATE declares the partition
-        spec so the engine can prune.  Parquet: read ONLY the touched
+        Iceberg: MERGE INTO whose ON clause carries the partition column
+        BOTH as an s-side equality AND as a literal IN list of the touched
+        values (bounded by the partition count, e.g. 64 conv buckets) — the
+        key-only ON clause of plain merge_upsert gives Iceberg nothing to
+        statically prune the target scan with, so "cost bounded to touched
+        partitions" would not hold on exactly the documented scale substrate
+        (round-4 ADVICE).  The bootstrap CREATE declares the partition spec
+        so the engine can prune.  Parquet: read ONLY the touched
         partitions,
         anti-join out updated keys, union the new rows, localCheckpoint to
         sever lineage from the files about to be replaced (reading lazily
@@ -178,7 +193,20 @@ class TableStore:
                     .create()
                 )
                 return
-            self.merge_upsert(df, name, key_cols)
+            # bounded driver-side collect: one row per touched partition
+            vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+            view = f"_merge_src_{name}"
+            df.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            on += f" AND t.{partition_col} = s.{partition_col}"
+            if vals:
+                lits = ", ".join(_sql_literal(v) for v in sorted(vals, key=str))
+                on += f" AND t.{partition_col} IN ({lits})"
+            self.spark.sql(
+                f"MERGE INTO {self.catalog}.{name} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
             return
         from pyspark.sql.functions import col
 

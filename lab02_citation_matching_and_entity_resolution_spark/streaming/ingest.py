@@ -111,19 +111,25 @@ def _check_bucket_layout(store: TableStore, turns_table: str, n_buckets: int) ->
 
     Parquet-path only; on Iceberg the partition spec lives on the table.
     The bucket count is recorded in ``<root>/<table>.__buckets.json`` on
-    first use.
+    first use — atomically (temp file + hard-link publish), first writer
+    wins: two streams first-initializing the same store race on the link,
+    the loser re-reads the winner's value and validates against its own
+    config instead of tearing the file.
     """
     import json
+    import uuid
 
     if store._use_iceberg():
         return
     meta_path = os.path.join(store.root, f"{turns_table}.__buckets.json")
+    bucketed_dirs_exist = False
     if store.exists(turns_table):
         entries = [
             n for n in os.listdir(os.path.join(store.root, turns_table))
             if not n.startswith("_") and not n.startswith(".")
         ]
-        if entries and not any(n.startswith("conv_bucket=") for n in entries):
+        bucketed_dirs_exist = any(n.startswith("conv_bucket=") for n in entries)
+        if entries and not bucketed_dirs_exist:
             raise RuntimeError(
                 f"{turns_table} at {store.root} was written UNPARTITIONED by a "
                 "pre-bucketing version of this engine; appending bucketed files "
@@ -131,9 +137,8 @@ def _check_bucket_layout(store: TableStore, turns_table: str, n_buckets: int) ->
                 "table, add conv_bucket = pmod(xxhash64(conv_id), n_buckets), "
                 "and rewrite with create_or_replace(partition_by=['conv_bucket'])."
             )
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            recorded = json.load(f)["n_buckets"]
+
+    def _validate(recorded: int) -> None:
         if recorded != n_buckets:
             raise RuntimeError(
                 f"{turns_table} was bucketed with n_buckets={recorded} but this "
@@ -141,10 +146,42 @@ def _check_bucket_layout(store: TableStore, turns_table: str, n_buckets: int) ->
                 "bucket counts silently loses history in the pruned reads. "
                 "Use the recorded value or migrate the table."
             )
-    else:
-        os.makedirs(store.root, exist_ok=True)
-        with open(meta_path, "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _validate(json.load(f)["n_buckets"])
+        return
+    if bucketed_dirs_exist:
+        # a bucketed table without its meta file (deleted, or created
+        # out-of-band) must NOT be re-legitimized with whatever count this
+        # handler happens to be configured with — a wrong count here silently
+        # loses history in every pruned read, the exact failure the guard
+        # exists to prevent.  The stored partition VALUES cannot recover the
+        # original n_buckets (observed max+1 is only a lower bound), so
+        # refuse and make the operator restore or migrate explicitly.
+        raise RuntimeError(
+            f"{turns_table} at {store.root} has conv_bucket= partitions but no "
+            f"{os.path.basename(meta_path)} meta file; refusing to record "
+            f"n_buckets={n_buckets} unchecked. Restore the meta file with the "
+            "original bucket count, or migrate: read the table, recompute "
+            "conv_bucket with the desired count, rewrite with "
+            "create_or_replace(partition_by=['conv_bucket']), then write the "
+            'meta file {"n_buckets": <count>}.'
+        )
+    # first initialization: publish atomically, first writer wins
+    os.makedirs(store.root, exist_ok=True)
+    tmp = f"{meta_path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, meta_path)  # atomic create-exclusive publish
+    except FileExistsError:
+        with open(meta_path) as f:
+            _validate(json.load(f)["n_buckets"])
+    finally:
+        os.unlink(tmp)
 
 
 def incremental_assemble(

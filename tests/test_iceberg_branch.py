@@ -113,11 +113,35 @@ def test_iceberg_merge_upsert_partitioned_bootstrap_and_merge(spark):
     fake2 = _fake_spark_with_catalog()
     store2 = TableStore(fake2, "/tmp/unused", catalog="er")
     df2 = MagicMock()
+    df2.select.return_value.distinct.return_value.collect.return_value = [(7,), (3,)]
     store2.merge_upsert_partitioned(
         df2, "documents_live", key_cols=["conv_id"], partition_col="conv_bucket"
     )
-    assert "MERGE INTO er.documents_live t" in fake2.sql.call_args[0][0]
+    sql = fake2.sql.call_args[0][0]
+    assert "MERGE INTO er.documents_live t" in sql
+    # the ON clause must let Iceberg prune the target scan to the touched
+    # partitions: s-side equality AND a literal IN list (round-4 ADVICE —
+    # a key-only ON clause voids the bounded-upsert-cost claim on the
+    # documented scale substrate)
+    assert "t.conv_id = s.conv_id" in sql
+    assert "t.conv_bucket = s.conv_bucket" in sql
+    assert "t.conv_bucket IN (3, 7)" in sql
     df2.write.mode.assert_not_called()
+
+
+def test_iceberg_merge_upsert_partitioned_string_partition_quoted(spark):
+    """String partition values must be quoted (and escaped) in the IN list."""
+    fake = _fake_spark_with_catalog()
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+    df.select.return_value.distinct.return_value.collect.return_value = [
+        ("b'x",), ("a",),
+    ]
+    store.merge_upsert_partitioned(
+        df, "docs", key_cols=["conv_id"], partition_col="shard"
+    )
+    sql = fake.sql.call_args[0][0]
+    assert "t.shard IN ('a', 'b''x')" in sql
 
 
 def test_iceberg_merge_upsert_issues_merge_into(spark):

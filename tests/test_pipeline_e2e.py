@@ -155,3 +155,47 @@ def test_end_to_end_f1_with_block_scoped_tfidf(spark, corpus):
     metrics = evaluate(result, labeled, truth)
     assert metrics["pairs"]["f1"] >= 0.99, metrics
     assert metrics["clusters"]["f1"] >= 0.99, metrics
+
+
+def test_blocking_recall_exact_on_pre_dedup_union(spark):
+    """Round-4 ADVICE: with multiple rows per pair (a pre-dedup pass union),
+    per-pass attribution must be the UNION of the rows' passes — exact and
+    deterministic — not an arbitrary surviving row's array."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.metrics import (
+        blocking_recall,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", ["token"]),
+            ("a", "b", ["minhash"]),        # same pair, second pass row
+            ("c", "d", ["token", "minhash"]),
+            ("e", "f", ["signature"]),      # not a true pair
+        ],
+        "left_id string, right_id string, block_passes array<string>",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b", 1), ("c", "d", 1), ("x", "y", 1)],
+        "left_id string, right_id string, label int",
+    )
+    audit = {r["block_pass"]: r for r in blocking_recall(pairs, truth).collect()}
+    assert audit["__overall__"]["true_pairs_covered"] == 2
+    assert audit["__overall__"]["true_pairs_total"] == 3
+    # (a,b) counts for BOTH token and minhash regardless of row layout
+    assert audit["token"]["true_pairs_covered"] == 2
+    assert audit["minhash"]["true_pairs_covered"] == 2
+    assert "signature" not in audit  # covered no true pair -> no row
+
+
+def test_pipeline_default_cc_is_auto_and_records_stats(spark, default_result):
+    """The pipeline default is the auto CC (fallback-capable) and the result
+    carries the observability record the CLI logs to lineage."""
+    from lab02_citation_matching_and_entity_resolution_spark.plans.pipeline import (
+        PipelineConfig,
+    )
+
+    assert PipelineConfig().cc_algorithm == "auto"
+    stats = default_result.cc_stats
+    assert stats.get("algorithm") == "propagation"  # near-clique corpus
+    assert stats.get("fallback") is False
+    assert stats.get("rounds", 0) >= 1

@@ -200,3 +200,42 @@ def test_greedy_oversized_block_fails_loudly(spark):
     # same data under the default guard (2M) passes untouched
     ok = greedy_one_to_one(df, threshold=0.5).collect()
     assert len(ok) == 5
+
+
+def test_auto_cc_falls_back_to_star_on_long_chain(spark):
+    """connected_components_auto: propagation's cap fails on a long chain;
+    auto must converge via the star fallback without caller intervention and
+    record the fallback in stats."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        connected_components_auto,
+    )
+
+    names = [f"c{i:03d}" for i in range(80)]
+    edges = spark.createDataFrame(
+        list(zip(names, names[1:])), "left_id string, right_id string"
+    )
+    stats: dict = {}
+    labels = connected_components_auto(edges, max_iter=5, stats=stats)
+    rows = labels.collect()
+    assert len(rows) == 80
+    assert {r["cluster_id"] for r in rows} == {"c000"}
+    assert stats["fallback"] is True
+    assert stats["algorithm"] == "star"
+    assert stats["rounds"] >= 1
+
+
+def test_auto_cc_uses_propagation_on_normal_graph(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        connected_components_auto,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "left_id string, right_id string"
+    )
+    stats: dict = {}
+    labels = connected_components_auto(edges, stats=stats)
+    got = {(r["conv_id"], r["cluster_id"]) for r in labels.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    assert stats["fallback"] is False
+    assert stats["algorithm"] == "propagation"
+    assert stats["rounds"] >= 1

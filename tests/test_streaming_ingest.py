@@ -236,3 +236,65 @@ def test_legacy_unpartitioned_turns_table_fails_loudly(spark, tmp_path):
     store.append(batch, "turns_raw")  # legacy: unpartitioned
     with pytest.raises(RuntimeError, match="UNPARTITIONED"):
         incremental_assemble(store)(batch, 0)
+
+
+def test_missing_meta_on_bucketed_table_refuses(spark, tmp_path):
+    """A bucketed turns_raw whose meta file was deleted (or created
+    out-of-band) must NOT be re-legitimized with the handler's configured
+    count — a wrong count silently loses history in pruned reads (round-4
+    ADVICE)."""
+    import os
+
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in TURNS_A],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    incremental_assemble(store)(batch, 0)  # records n_buckets=64
+    os.unlink(str(tmp_path / "tables" / "turns_raw.__buckets.json"))
+    with pytest.raises(RuntimeError, match="no turns_raw.__buckets.json"):
+        incremental_assemble(store)(batch, 1)
+
+
+def test_bucket_meta_concurrent_first_init_first_writer_wins(spark, tmp_path):
+    """Two handlers first-initializing the same store concurrently: the meta
+    publish is atomic (temp + hard link), the loser validates the winner's
+    value — no torn file, no exception for agreeing configs, a loud error
+    for disagreeing ones."""
+    import json
+    import threading
+
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        _check_bucket_layout,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    errs: list = []
+
+    def init(n):
+        try:
+            _check_bucket_layout(store, "turns_raw", n)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=init, args=(64,)) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    meta = tmp_path / "tables" / "turns_raw.__buckets.json"
+    assert json.loads(meta.read_text()) == {"n_buckets": 64}
+    # no orphan temp files
+    assert not list((tmp_path / "tables").glob("*.tmp.*"))
+    # a disagreeing late-comer still fails loudly
+    import pytest
+
+    with pytest.raises(RuntimeError, match="n_buckets=64"):
+        _check_bucket_layout(store, "turns_raw", 32)
