@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Full-pipeline scale rehearsal (~10x the bench corpus, round-4 verdict #5).
+
+The per-round bench times the SCORE stage; this rehearsal runs the COMPLETE
+pipeline once at n_base=24000 (~5.5M candidate pairs at defaults) —
+
+  synth -> assemble -> blocking -> features+rule score -> model fast score
+        -> connected components (auto) -> greedy resolve -> quality metrics
+
+— and records per stage: wall seconds, output rows, shuffle read/write byte
+deltas (Spark REST API; the rehearsal session enables the UI for exactly
+this), skew-cap audit totals, CC rounds/algorithm/fallback, and the final
+quality numbers (blocking recall, pairwise F1, cluster F1).  Everything is
+written both to BENCH/pipeline_rehearsal.json and to the engine's OWN
+lineage metrics table (plans/lineage.py) — the rehearsal eats the same
+observability surface production runs use.
+
+Scale reading: no stage may grow superlinearly in pairs vs the n_base=6000
+bench; CC and greedy resolve get their first timed run at 5M+ pairs here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_BASE = int(os.environ.get("SPARK_GRAFT_REHEARSAL_NBASE", "24000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+THRESHOLD = float(os.environ.get("SPARK_GRAFT_REHEARSAL_THRESHOLD", "0.7"))
+OUT_JSON = os.path.join(REPO, "BENCH", "pipeline_rehearsal.json")
+STORE_ROOT = os.environ.get(
+    "SPARK_GRAFT_REHEARSAL_STORE", "/tmp/er_rehearsal_store"
+)
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over completed stages
+    via the REST API; (0, 0) when the UI is unreachable (recorded as null
+    deltas downstream, never a crash)."""
+    try:
+        base = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=10) as r:
+            stages = json.load(r)
+        rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return rd, wr
+    except Exception:  # noqa: BLE001
+        return -1, -1
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lab02_citation_matching_and_entity_resolution_spark.session import get_spark
+    from lab02_citation_matching_and_entity_resolution_spark.synth import (
+        SynthConfig,
+        transcripts_df_distributed,
+        generate_rows,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+        assemble_documents,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.blocking import (
+        candidate_pairs,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        pair_features,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.tfidf import (
+        pair_tfidf_cosine,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.scoring import (
+        fit_logistic,
+        logistic_weights_scorer,
+        score_pairs_rule,
+        sigmoid_score_col,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        connected_components_auto,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.resolve import (
+        greedy_one_to_one,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.metrics import (
+        blocking_recall,
+        cluster_quality,
+        pairwise_prf,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.plans.lineage import (
+        LineageLog,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.sources.tables import (
+        TableStore,
+    )
+    import itertools
+    import shutil
+    import uuid
+
+    spark = get_spark(
+        app_name="er-rehearsal",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4046"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    shutil.rmtree(STORE_ROOT, ignore_errors=True)
+    store = TableStore(spark, STORE_ROOT)
+    log = LineageLog(store, run_id=f"rehearsal_{uuid.uuid4().hex[:8]}")
+
+    cfg = SynthConfig(n_base=N_BASE)
+    stages: list[dict] = []
+    t_start = time.time()
+
+    def stage(name: str):
+        """Context collecting wall + shuffle deltas around a stage body."""
+        class _Ctx:
+            def __enter__(self):
+                self.rd0, self.wr0 = _shuffle_totals(spark)
+                self.t0 = time.time()
+                self.extra: dict = {}
+                return self
+
+            def __exit__(self, *exc):
+                if exc[0] is not None:
+                    return False
+                wall = time.time() - self.t0
+                rd1, wr1 = _shuffle_totals(spark)
+                rec = {
+                    "stage": name,
+                    "wall_sec": round(wall, 2),
+                    "shuffle_read_mb": (
+                        round((rd1 - self.rd0) / 1e6, 1) if self.rd0 >= 0 and rd1 >= 0 else None
+                    ),
+                    "shuffle_write_mb": (
+                        round((wr1 - self.wr0) / 1e6, 1) if self.wr0 >= 0 and wr1 >= 0 else None
+                    ),
+                    **self.extra,
+                }
+                stages.append(rec)
+                print(json.dumps(rec), flush=True)
+                metric_rows = [(0, "wall_sec", wall)]
+                for k, v in self.extra.items():
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        metric_rows.append((0, k, float(v)))
+                log.log_metrics(name, metric_rows)
+                return False
+
+        return _Ctx()
+
+    # 1. synth --------------------------------------------------------------
+    with stage("synth") as s:
+        tr = transcripts_df_distributed(spark, cfg).persist()
+        s.extra["rows"] = tr.count()
+
+    # 2. assemble -----------------------------------------------------------
+    with stage("assemble") as s:
+        docs = assemble_documents(tr).persist()
+        s.extra["rows"] = docs.count()
+
+    # 3. blocking (multi-pass, skew-capped) ---------------------------------
+    with stage("blocking") as s:
+        pairs, cap_metrics = candidate_pairs(docs)
+        pairs = pairs.persist()
+        s.extra["rows"] = pairs.count()
+        # cap audit: bounded frame (one row per capped block)
+        audit = cap_metrics.agg(
+            F.count(F.lit(1)).alias("capped_blocks"),
+            F.coalesce(F.sum("rows_dropped"), F.lit(0)).alias("rows_dropped"),
+        ).collect()[0]
+        s.extra["capped_blocks"] = int(audit["capped_blocks"])
+        s.extra["cap_rows_dropped"] = int(audit["rows_dropped"])
+    n_pairs = stages[-1]["rows"]
+
+    # 4. features + TF-IDF + rule score -------------------------------------
+    with stage("score_rule") as s:
+        scored = score_pairs_rule(
+            pair_tfidf_cosine(pair_features(pairs, docs), docs)
+        ).persist()
+        s.extra["rows"] = scored.count()
+        s.extra["pairs_per_sec"] = round(n_pairs / (time.time() - s.t0), 1)
+
+    # 5. model fast score (M6 production path) ------------------------------
+    with stage("score_model_fast") as s:
+        train = scored.limit(20000).withColumn(
+            "label", (F.col("score") >= 0.5).cast("int")
+        )
+        model = fit_logistic(train, "label")
+        w, b = logistic_weights_scorer(model)
+        fit_done = time.time()
+        s.extra["fit_sec"] = round(fit_done - s.t0, 2)
+        _force(
+            scored.withColumn("model_score", F.round(sigmoid_score_col(w, b), 6))
+            .select("left_id", "right_id", "model_score")
+        )
+        s.extra["score_sec"] = round(time.time() - fit_done, 2)
+        s.extra["pairs_per_sec"] = round(n_pairs / (time.time() - fit_done), 1)
+
+    # 6. connected components (auto) ----------------------------------------
+    with stage("connected_components") as s:
+        matches = scored.where(F.col("score") >= THRESHOLD).select(
+            "left_id", "right_id", "score"
+        ).persist()
+        s.extra["match_edges"] = matches.count()
+        cc_stats: dict = {}
+        clusters = connected_components_auto(
+            matches, vertices=docs.select("conv_id"), stats=cc_stats
+        ).persist()
+        s.extra["rows"] = clusters.count()
+        s.extra["cc_rounds"] = cc_stats.get("rounds")
+        s.extra["cc_algorithm"] = cc_stats.get("algorithm")
+        s.extra["cc_fallback"] = cc_stats.get("fallback")
+        s.extra["n_clusters"] = clusters.select("cluster_id").distinct().count()
+
+    # 7. greedy 1:1 resolve (reference-parity mode) -------------------------
+    with stage("resolve_greedy") as s:
+        with_block = scored.withColumn("block_key", F.concat_ws(",", "block_passes"))
+        s.extra["rows"] = greedy_one_to_one(with_block, THRESHOLD).count()
+
+    # 8. quality metrics vs planted truth -----------------------------------
+    with stage("quality_metrics") as s:
+        # one generate_rows call serves both truth frames (driver-side;
+        # membership is tiny, the transcripts are discarded)
+        _, membership = generate_rows(cfg)
+        truth = spark.createDataFrame(membership, "conv_id string, entity_id string")
+        by_entity: dict[str, list[str]] = {}
+        for conv_id, entity_id in membership:
+            by_entity.setdefault(entity_id, []).append(conv_id)
+        pos = [
+            (a, b2, 1)
+            for convs in by_entity.values()
+            for a, b2 in itertools.combinations(sorted(convs), 2)
+        ]
+        labeled = spark.createDataFrame(pos, "left_id string, right_id string, label int")
+        rec = {
+            r["block_pass"]: r["recall"]
+            for r in blocking_recall(pairs, labeled).collect()
+        }
+        s.extra["blocking_recall"] = round(rec.get("__overall__", 0.0), 4)
+        prf = pairwise_prf(matches.select("left_id", "right_id"), labeled)
+        s.extra["pairwise_f1"] = round(prf["f1"], 4)
+        cq = cluster_quality(clusters, truth)
+        s.extra["cluster_f1"] = round(cq["f1"], 4)
+
+    total = time.time() - t_start
+    result = {
+        "n_base": N_BASE,
+        "cpus": CPUS,
+        "n_pairs": n_pairs,
+        "threshold": THRESHOLD,
+        "total_sec": round(total, 1),
+        "stages": stages,
+        "lineage_store": STORE_ROOT,
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"rehearsal_done": True, "total_sec": round(total, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -181,20 +181,71 @@ def run_at(cores: int, data_dir: str = DATA_DIR, retries: int = 1) -> dict:
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 
 
+def _count_pairs(data_dir: str) -> int:
+    """Row count of the prepared pairs table from parquet footers (no JVM)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(data_dir, "pairs", "*.parquet"))
+    )
+
+
+# calibration tolerance for |pairs_per_core / target - 1| and attempt budget
+WEAK_CAL_TOL = float(os.environ.get("SPARK_GRAFT_SCALING_WEAK_TOL", "0.15"))
+WEAK_CAL_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALING_WEAK_ATTEMPTS", "3"))
+
+
 def main_weak() -> None:
-    """Fixed work PER CORE: each level runs its own corpus with n_base
-    proportional to its core count (hi level == N_BASE).  Perfect scaling
-    keeps per-core throughput constant, so
-    eff_weak = (rate_hi / rate_lo) / (hi / lo), rate = n_pairs / score_sec
-    (measured pair counts absorb any nonlinearity of blocking vs n_base)."""
+    """Fixed work PER CORE — CALIBRATED: blocking pairs grow superlinearly in
+    n_base, so scaling n_base linearly with cores gives the big leg ~3x more
+    pairs per core than the small leg (round-4 ADVICE: the resulting 1.13
+    'efficiency' partly reflected fixed-overhead amortization at the larger
+    per-core workload).  Here each lower level's n_base is iterated (sqrt
+    adjustment, <= WEAK_CAL_ATTEMPTS preps) until its measured
+    pairs-per-core is within WEAK_CAL_TOL of the hi level's, and the final
+    work-per-core ratio is recorded next to the efficiency so readers can
+    see how close the calibration landed.
+
+    eff_weak = (rate_hi / rate_lo) / (hi / lo), rate = n_pairs / score_sec —
+    1.0 when each core keeps its own (now genuinely constant-size) working
+    set at constant speed."""
     hi = max(CORE_LEVELS)
-    level_dirs = {}
+    level_dirs: dict[int, str] = {}
+    level_pairs: dict[int, int] = {}
+    d_hi = f"{DATA_DIR}_weak{hi}"
+    prepare_data(N_BASE, d_hi)
+    level_dirs[hi] = d_hi
+    level_pairs[hi] = _count_pairs(d_hi)
+    target_per_core = level_pairs[hi] / hi
+    calibration: dict[str, list] = {}
     for cores in CORE_LEVELS:
-        n_base = max(200, N_BASE * cores // hi)
+        if cores == hi:
+            continue
         d = f"{DATA_DIR}_weak{cores}"
-        prepare_data(n_base, d)
+        n_base = max(200, N_BASE * cores // hi)  # linear first guess
+        tries = []
+        for _ in range(WEAK_CAL_ATTEMPTS):
+            prepare_data(n_base, d)
+            pairs = _count_pairs(d)
+            per_core = pairs / cores
+            tries.append({"n_base": n_base, "pairs": pairs,
+                          "pairs_per_core": per_core})
+            print(f"calibrate local[{cores}]: n_base={n_base} -> "
+                  f"{per_core:.0f} pairs/core (target {target_per_core:.0f})",
+                  flush=True)
+            if abs(per_core / target_per_core - 1.0) <= WEAK_CAL_TOL:
+                break
+            # pairs ~ quadratic-ish in n_base within fixed corpus structure
+            n_base = max(200, int(n_base * (target_per_core / per_core) ** 0.5))
         level_dirs[cores] = d
-    results: dict = {"mode": "weak", "n_base_hi": N_BASE}
+        level_pairs[cores] = tries[-1]["pairs"]
+        calibration[f"local[{cores}]"] = tries
+    results: dict = {"mode": "weak", "n_base_hi": N_BASE,
+                     "calibration": calibration,
+                     "target_pairs_per_core": target_per_core}
     times: dict[int, list[dict]] = {c: [] for c in CORE_LEVELS}
     for rep in range(REPEATS):
         for cores in CORE_LEVELS:
@@ -213,10 +264,16 @@ def main_weak() -> None:
     r_lo, r_hi = results[f"local[{lo}]"], results[f"local[{hi}]"]
     eff = (r_hi["pairs_per_sec"] / r_lo["pairs_per_sec"]) / (hi / lo)
     results[f"weak_scaling_efficiency_{lo}_to_{hi}"] = eff
+    # honesty metric next to the headline: >1 means the big leg still did
+    # more work per core than the small leg (efficiency biased up), <1 the
+    # reverse; calibration targets 1.0 +/- WEAK_CAL_TOL
+    work_ratio = (level_pairs[hi] / hi) / (level_pairs[lo] / lo)
+    results["work_per_core_ratio_hi_over_lo"] = work_ratio
     ctrl = r_lo["control_sec"] / r_hi["control_sec"]
     results["control_speedup"] = ctrl
     results["normalized_weak_efficiency"] = eff * (hi / lo) / ctrl
     print(f"weak-scaling efficiency (rate{hi}/rate{lo})/{hi // lo} = {eff:.3f}; "
+          f"work/core ratio hi/lo = {work_ratio:.3f}; "
           f"control speedup {ctrl:.2f}x; normalized = {eff * (hi / lo) / ctrl:.3f}")
     with open(os.path.join(REPO, "BENCH", "scaling_results_weak.json"), "w") as f:
         json.dump(results, f, indent=2)
