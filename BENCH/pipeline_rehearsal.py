@@ -111,7 +111,15 @@ def main() -> None:
         app_name="er-rehearsal",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 32),
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4046"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4046",
+            # headroom for ~20 GB of /dev/shm shuffle + cached frames on the
+            # shared 128 GiB box (48g heap + fat persist OOM-killed run 1)
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_REHEARSAL_DRIVER_MEM", "40g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -159,6 +167,16 @@ def main() -> None:
 
         return _Ctx()
 
+    # Stage boundaries are TableStore parquet materializations, not persist():
+    # at 5.5M pairs the score joins' ~13 GB-per-pass shuffle evicts cached
+    # blocks from unified memory, and every evicted docs partition then
+    # recomputes through synth + the Arrow normalizer lineage — measured 6.8x
+    # slower than reading the same bytes back from parquet (663 s vs 97 s
+    # warm pass).  This is exactly the materialization discipline the
+    # production pipeline's checkpoint mode uses; the rehearsal pays the
+    # write cost inside each stage's wall, which is the honest production
+    # shape.
+
     # 1. synth --------------------------------------------------------------
     with stage("synth") as s:
         tr = transcripts_df_distributed(spark, cfg).persist()
@@ -166,13 +184,16 @@ def main() -> None:
 
     # 2. assemble -----------------------------------------------------------
     with stage("assemble") as s:
-        docs = assemble_documents(tr).persist()
+        store.create_or_replace(assemble_documents(tr), "documents")
+        docs = store.read("documents")
         s.extra["rows"] = docs.count()
+    tr.unpersist()  # transcripts feed nothing past assembly
 
     # 3. blocking (multi-pass, skew-capped) ---------------------------------
     with stage("blocking") as s:
-        pairs, cap_metrics = candidate_pairs(docs)
-        pairs = pairs.persist()
+        pairs_df, cap_metrics = candidate_pairs(docs)
+        store.create_or_replace(pairs_df, "pairs")
+        pairs = store.read("pairs")
         s.extra["rows"] = pairs.count()
         # cap audit: bounded frame (one row per capped block)
         audit = cap_metrics.agg(
@@ -184,12 +205,39 @@ def main() -> None:
     n_pairs = stages[-1]["rows"]
 
     # 4. features + TF-IDF + rule score -------------------------------------
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+
     with stage("score_rule") as s:
-        scored = score_pairs_rule(
+        # persist a SLIM projection (ids + passes + score + feature doubles):
+        # the full scored frame carries both documents' texts per pair —
+        # ~6 KB/row, >30 GB at 5.5M pairs — and caching it OOM-killed the
+        # first rehearsal attempt.  Downstream stages need exactly this slice.
+        #
+        # Two passes, same discipline as bench.py: pass 0 carries one-time
+        # JIT/codegen/Arrow-worker warm-up plus the first touch of ~20 GB of
+        # shuffle (the first rehearsal's single cold pass read 1010 s — 10x
+        # the steady state — and looked like a superlinear stage when it was
+        # a measurement-floor artifact); the warm pass is the steady-state
+        # number a long-running production job sees.
+        slim = score_pairs_rule(
             pair_tfidf_cosine(pair_features(pairs, docs), docs)
-        ).persist()
+        ).select(
+            "left_id", "right_id",
+            F.concat_ws(",", "block_passes").alias("block_key"),
+            "score", *FEATURE_COLS,
+        )
+        t0 = time.time()
+        _force(slim)
+        s.extra["cold_pass_sec"] = round(time.time() - t0, 2)
+        t1 = time.time()
+        store.create_or_replace(slim, "scored")
+        scored = store.read("scored")
         s.extra["rows"] = scored.count()
-        s.extra["pairs_per_sec"] = round(n_pairs / (time.time() - s.t0), 1)
+        warm = time.time() - t1
+        s.extra["warm_pass_sec"] = round(warm, 2)
+        s.extra["pairs_per_sec"] = round(n_pairs / warm, 1)
 
     # 5. model fast score (M6 production path) ------------------------------
     with stage("score_model_fast") as s:
@@ -225,8 +273,7 @@ def main() -> None:
 
     # 7. greedy 1:1 resolve (reference-parity mode) -------------------------
     with stage("resolve_greedy") as s:
-        with_block = scored.withColumn("block_key", F.concat_ws(",", "block_passes"))
-        s.extra["rows"] = greedy_one_to_one(with_block, THRESHOLD).count()
+        s.extra["rows"] = greedy_one_to_one(scored, THRESHOLD).count()
 
     # 8. quality metrics vs planted truth -----------------------------------
     with stage("quality_metrics") as s:

@@ -247,11 +247,19 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         def hashed(arr: Column) -> Column:
             return F.transform(arr, lambda s: F.xxhash64(s))
 
+        # full doc_text is NOT shipped across the pair joins: its only
+        # consumers are the exact-equality guards (here and in
+        # score_pairs_rule), which (xxhash64, length) witnesses at 8+4 bytes
+        # instead of the full payload — the round-5 rehearsal measured the
+        # enriched pair rows at ~4 KB compressed each (21.9 GB shuffle for
+        # 5.5M pairs), and the text was a leading term.  64-bit collision on
+        # EQUAL-LENGTH same-corpus docs is negligible (same rationale as the
+        # hashed token/shingle sets below).
         return docs.select(
             F.col("conv_id").alias(id_name),
-            F.col("doc_text").alias(f"{prefix}_text"),
+            F.xxhash64("doc_text").alias(f"{prefix}_text_sig"),
+            F.length("doc_text").alias(f"{prefix}_text_len"),
             F.substring("doc_text", 1, LEV_PREFIX_CAP).alias(f"{prefix}_pfx"),
-            F.col("tokens").alias(f"{prefix}_tokens"),
             hashed(F.array_distinct(F.col("tokens"))).alias(f"{prefix}_tokset"),
             F.size(F.col("tokens")).alias(f"{prefix}_ntok"),
             F.concat(F.col("roles"), F.col("tools")).alias(f"{prefix}_sig"),
@@ -267,8 +275,17 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
             ],
         )
 
-    joined = pairs.join(side("l", "left_id"), "left_id").join(
-        side("r", "right_id"), "right_id"
+    # shuffle_hash hint on the DOC sides: by construction candidates >> docs,
+    # and the enriched pair rows are heavy (~750 hashed longs of shingle
+    # sets + prefixes each side).  The default SortMergeJoin SORTS the pair
+    # side — twice, once per join — which at 5.5M pairs is an external sort
+    # of ~70 GB of enriched rows and dominated the full-feature stage wall
+    # (round-5 rehearsal).  Hash-building the small doc side instead streams
+    # the pair side unsorted: measured 2-2.9x on the full-feature path at
+    # 5.5M pairs.  The build side per task is docs_rows/shuffle_partitions x
+    # ~12 KB — trivially in-memory at any realistic partitioning.
+    joined = pairs.join(side("l", "left_id").hint("shuffle_hash"), "left_id").join(
+        side("r", "right_id").hint("shuffle_hash"), "right_id"
     )
 
     def ngram_jac(n: int) -> Column:
@@ -284,10 +301,14 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     return (
         joined.withColumn(
             "levenshtein",
-            # exact-equality guard still sees the FULL text (so true exact
-            # dupes score 1.0 even beyond the prefix); banded DP on prefixes
+            # exact-equality guard covers the FULL text via (hash, length)
+            # (so true exact dupes score 1.0 even beyond the prefix);
+            # banded DP on prefixes
             F.when(
-                (F.col("l_text") == F.col("r_text")) & (F.length("l_text") > 0), F.lit(1.0)
+                (F.col("l_text_sig") == F.col("r_text_sig"))
+                & (F.col("l_text_len") == F.col("r_text_len"))
+                & (F.col("l_text_len") > 0),
+                F.lit(1.0),
             ).otherwise(
                 levenshtein_sim_col(F.col("l_pfx"), F.col("r_pfx"), max_dist=LEV_MAX_DIST)
             ),

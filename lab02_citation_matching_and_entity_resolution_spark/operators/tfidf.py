@@ -145,9 +145,13 @@ def pair_tfidf_cosine(
         " (t, w) -> w * coalesce(element_at(r_vec, t), 0D)),"
         " 0D, (acc, x) -> acc + x)"
     )
+    # shuffle_hash: build the small per-doc vector side, stream the pair
+    # side unsorted — the pair rows upstream of this join already carry the
+    # full feature payload, and SortMergeJoin would sort them twice more
+    # (same rationale and measurement as pair_features' doc-side hint)
     return (
-        pairs.join(l, "left_id", "left")
-        .join(r, "right_id", "left")
+        pairs.join(l.hint("shuffle_hash"), "left_id", "left")
+        .join(r.hint("shuffle_hash"), "right_id", "left")
         .withColumn(
             "tfidf_cosine",
             F.coalesce(dot, F.lit(0.0)),

@@ -132,3 +132,36 @@ def test_dedup_cap_adds_single_exchange(spark):
     n_unc = uncapped.count("Exchange")
     n_cap = capped.count("Exchange")
     assert n_cap <= n_unc + 2, (n_unc, n_cap)  # window partition + its reuse
+
+
+def test_pair_feature_joins_use_shuffled_hash_not_sort_merge(spark):
+    """The docs sides of the pair-feature and TF-IDF joins are hinted
+    shuffle_hash: SortMergeJoin would sort the heavy enriched pair rows
+    (shingle sets + prefixes, ~12 KB/row) twice per layer — measured 2-2.9x
+    slower at 5.5M pairs (round-5 rehearsal).  Pin the strategy so a hint
+    regression is caught."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.assemble import (
+        assemble_documents,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        pair_features,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.operators.tfidf import (
+        pair_tfidf_cosine,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.synth import (
+        SynthConfig,
+        transcripts_df,
+    )
+
+    tr = transcripts_df(spark, SynthConfig(n_base=6))
+    docs = assemble_documents(tr)
+    pairs = docs.select(F.col("conv_id").alias("left_id")).crossJoin(
+        docs.select(F.col("conv_id").alias("right_id"))
+    ).limit(10)
+    plan = _plan(pair_tfidf_cosine(pair_features(pairs, docs), docs))
+    tree = plan.split("\n\n")[0]
+    # the four PAIR-level joins (2 feature sides + 2 tfidf sides) must hash,
+    # not sort-merge; doc-side joins inside tfidf vector building (doc x term
+    # rows, tiny) may keep SMJ
+    assert tree.count("ShuffledHashJoin") >= 4, tree
