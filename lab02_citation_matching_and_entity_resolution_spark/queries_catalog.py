@@ -16,11 +16,13 @@ Registry shape: REGISTRY[name] = QuerySpec(spark_fn, sql, note).
 
 The driver records at most 50 CORRECTNESS entries (round 1 witnessed exactly
 the first 50 of 57 in insertion order), so the registry is curated to exactly
-50: overlapping ops share one query (the note says which — e.g. "S1 + A1"),
-oracle-bearing queries come first, and the only rows-only entry
-(j6_greedy_one_to_one — genuinely non-SQL-expressible) is registered LAST so
-a tighter cap can never evict an oracle row.  f1_f5_normalize_text carries a
-partial-domain oracle (LaTeX-identity ASCII rows) since round 4.
+50: overlapping ops share one query (the note says which — e.g. "S1 + A1").
+Since round 5 ALL 50 carry oracles: j6_greedy_one_to_one — sequential-in-block
+greedy, long thought non-SQL-expressible — gained a DuckDB RECURSIVE-CTE
+oracle (lockstep per-block acceptance carrying used-id arrays), verified
+bit-exact against both the Spark applyInPandas operator and an independent
+plain-Python greedy.  f1_f5_normalize_text carries a partial-domain oracle
+(LaTeX-identity ASCII rows) since round 4.
 """
 
 from __future__ import annotations

@@ -635,15 +635,59 @@ def a6b_tfidf_block_scope(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
-# Tail entries — registered LAST on purpose: the driver records at most
-# 50 CORRECTNESS entries in registry order, so the genuinely
-# non-SQL-expressible rows-only query sits where a cap can never evict an
-# oracle row.
+# J6 oracle: greedy 1:1 IS SQL-expressible after all — as a RECURSIVE CTE
+# running the greedy loop in lockstep across blocks.  Each iteration carries
+# one row per still-active block holding the accumulated used-left/used-right
+# id arrays; the recursive term joins the candidate pairs back to that state,
+# filters conflicts, and accepts the per-block best by the same total order
+# the Spark operator uses ((-score, left_id, right_id), resolve.py:44).
+# Blocks drop out when no candidate survives; every emitted row is one
+# accepted pair.  Depth = max accepted pairs in any block (<=7 for lineitem
+# per-orderkey blocks), so the oracle runs in seconds at sf0.01.  Verified
+# bit-exact (including raw double scores) against an independent plain-Python
+# greedy on the same input — with tests/test_resolve_cluster.py's
+# twice-implemented witness, J6 is now THREE-way agreeing.
 # -------------------------------------------------------------------------
 
-@q("j6_greedy_one_to_one", None,
+q_j6_sql = r"""
+WITH RECURSIVE pairs AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS block_key,
+         'p' || CAST(l_partkey AS VARCHAR) AS left_id,
+         's' || CAST(l_suppkey AS VARCHAR) AS right_id,
+         l_discount * 10 AS score
+  FROM lineitem
+  WHERE l_discount * 10 >= 0.2
+),
+sel AS (
+  SELECT block_key, left_id, right_id, score,
+         [left_id] AS used_l, [right_id] AS used_r
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY block_key ORDER BY score DESC, left_id, right_id) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT block_key, left_id, right_id, score,
+         list_append(used_l, left_id) AS used_l,
+         list_append(used_r, right_id) AS used_r
+  FROM (
+    SELECT p.block_key, p.left_id, p.right_id, p.score, s.used_l, s.used_r,
+           row_number() OVER (
+               PARTITION BY p.block_key
+               ORDER BY p.score DESC, p.left_id, p.right_id) AS rn
+    FROM pairs p JOIN sel s ON p.block_key = s.block_key
+    WHERE NOT list_contains(s.used_l, p.left_id)
+      AND NOT list_contains(s.used_r, p.right_id)
+  ) WHERE rn = 1
+)
+SELECT block_key, left_id, right_id, score FROM sel
+"""
+
+
+@q("j6_greedy_one_to_one", q_j6_sql,
    "J6: greedy 1:1 assignment per block (sequential-in-block semantics, "
-   "applyInPandas; not SQL-expressible -> rows-only)")
+   "applyInPandas; oracled since r5 via a DuckDB recursive CTE that runs "
+   "the greedy loop in lockstep across blocks)")
 def j6_greedy_one_to_one(spark, sf_dir):
     from .operators.resolve import greedy_one_to_one
 

@@ -142,12 +142,13 @@ def test_star_cc_no_edges_all_singletons(spark):
 
 
 def test_greedy_matches_independent_python_impl(spark, sf_dir):
-    """Cross-implementation witness for the registry's only oracle-less row
-    (j6_greedy_one_to_one): a plain-Python greedy — an independent
-    reimplementation of the reference loop (src/match_utils.py:497-511) with
-    the same (-score, left_id, right_id) order — over the COLLECTED catalog
-    input must agree exactly with the distributed applyInPandas output.
-    Two independent implementations agreeing replaces the missing SQL oracle."""
+    """Cross-implementation witness for j6_greedy_one_to_one: a plain-Python
+    greedy — an independent reimplementation of the reference loop
+    (src/match_utils.py:497-511) with the same (-score, left_id, right_id)
+    order — over the COLLECTED catalog input must agree exactly with the
+    distributed applyInPandas output.  Since r5 j6 ALSO carries a DuckDB
+    recursive-CTE oracle (queries_catalog_ext.q_j6_sql), making the operator
+    three-way witnessed: Spark applyInPandas, this Python loop, and SQL."""
     from lab02_citation_matching_and_entity_resolution_spark.queries_catalog_ext import (
         j6_greedy_one_to_one,
     )
