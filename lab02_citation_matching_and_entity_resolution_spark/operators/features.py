@@ -116,6 +116,45 @@ def any_shared_col(a: Column, b: Column) -> Column:
     )
 
 
+def digit_overlap_col(a_text: Column, b_text: Column) -> Column:
+    """F18: count of shared numeric tokens between two texts.
+
+    Parity with reference ``digit_overlap`` (ref:
+    src/feature_engineering_utils.py:92-96): sets of ``\\d+`` matches,
+    intersection size as an int.  NOTE the reference computes this inside
+    ``compute_features`` but never writes it into the emitted feature dict, so
+    it stays OUT of FEATURE_COLS here too — available for callers, unused by
+    the default model, matching observed reference behavior (SURVEY §2.7 F18).
+    """
+    a_nums = F.array_distinct(F.regexp_extract_all(a_text, F.lit(r"\d+"), 0))
+    b_nums = F.array_distinct(F.regexp_extract_all(b_text, F.lit(r"\d+"), 0))
+    return F.size(F.array_intersect(a_nums, b_nums))
+
+
+def _author_first_tokens(c: Column) -> Column:
+    # python str.split() both strips and splits on whitespace runs; trim+\s+
+    # reproduces it, and a whitespace-only author yields "" exactly like the
+    # reference's first_name("   ") == ""
+    non_empty = F.filter(c, lambda x: x.isNotNull() & (x != ""))
+    return F.transform(
+        non_empty, lambda x: F.element_at(F.split(F.trim(x), r"\s+"), 1)
+    )
+
+
+def author_firstname_match_col(a_authors: Column, b_authors: Column) -> Column:
+    """F23: 1.0 if any author FIRST name is shared, either-empty → 0.0.
+
+    Parity with reference ``author_firstname_match`` (ref:
+    src/feature_engineering_utils.py:145-155).  NOTE the reference lists this
+    in FEATURE_COLS (src/modeling_utils.py:30-39) but ``compute_features``
+    (:187-201) never emits it — a latent upstream bug (SURVEY §5.4).  We
+    mirror the reference's EFFECTIVE behavior: the function exists and is
+    tested, but the default feature frame does not include it, so models
+    train on exactly the columns the reference actually produces.
+    """
+    return any_shared_col(_author_first_tokens(a_authors), _author_first_tokens(b_authors))
+
+
 def char_ngram_jaccard_cols(a_text: str, b_text: str, n: int) -> Column:
     """Char n-gram set Jaccard; either-empty → 0.0 (ref F17).
 

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
     YEAR_DIFF_SENTINEL,
     any_shared_col,
+    author_firstname_match_col,
     char_ngram_jaccard_cols,
+    digit_overlap_col,
     either_empty_jaccard_col,
     jaccard_col,
     jaro_winkler,
@@ -114,6 +116,97 @@ def test_any_shared(spark):
     v0 = _one(spark, ((["t1"], []), "a array<string>, b array<string>"),
               any_shared_col(F.col("a"), F.col("b")))
     assert v0 == 0.0
+
+
+# --- digit_overlap F18 (ref :92-96; computed-but-never-emitted) -----------
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("vol 12 page 345", "12 of 999", 1),        # shared "12"
+        ("v1 2020 12", "2020 12 12", 2),            # sets: dup "12" counts once
+        ("no digits", "none here", 0),
+        ("", "123", 0),
+        ("007 7", "7 007", 2),                      # "007" != "7" as tokens
+    ],
+)
+def test_digit_overlap(spark, a, b, expected):
+    v = _one(spark, ((a, b), "a string, b string"),
+             digit_overlap_col(F.col("a"), F.col("b")))
+    assert v == expected
+
+
+def test_digit_overlap_matches_reference_semantics(spark):
+    # independent plain-python reimplementation of ref :92-96
+    import re as _re
+
+    cases = [
+        ("a1 b22 c333", "22 1 4"),
+        ("2019-07-16 rev 2", "2 16 2019"),
+        ("x", ""),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = [r["v"] for r in df.select(
+        digit_overlap_col(F.col("a"), F.col("b")).alias("v")).collect()]
+    want = [
+        len(set(_re.findall(r"\d+", a)) & set(_re.findall(r"\d+", b)))
+        for a, b in cases
+    ]
+    assert got == want
+
+
+# --- author_firstname_match F23 (ref :145-155; latent-bug note) -----------
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        (["Ada Lovelace", "Alan Turing"], ["Alan Smith"], 1.0),   # "Alan" shared
+        (["Ada Lovelace"], ["Grace Hopper"], 0.0),
+        ([], ["Alan Smith"], 0.0),                                # either-empty → 0.0
+        (["  Ada   Lovelace "], ["Ada X"], 1.0),                  # whitespace-run split
+        (["   "], ["  "], 1.0),  # ref quirk: ws-only authors both map to "" → match
+    ],
+)
+def test_author_firstname_match(spark, a, b, expected):
+    v = _one(spark, ((a, b), "a array<string>, b array<string>"),
+             author_firstname_match_col(F.col("a"), F.col("b")))
+    assert v == expected
+
+
+def test_firstname_match_matches_reference_semantics(spark):
+    # independent plain-python reimplementation of ref :145-155
+    def ref_impl(aa, bb):
+        def first(x):
+            parts = x.split()
+            return parts[0] if parts else ""
+        sa = {first(x) for x in aa if x}
+        sb = {first(x) for x in bb if x}
+        if not sa or not sb:
+            return 0.0
+        return 1.0 if (sa & sb) else 0.0
+
+    cases = [
+        (["Bob Ross", "carol j"], ["carol king", "Dan"]),
+        (["", "Eve Adams"], ["Eve B"]),
+        (["Frank"], ["frank"]),   # case-sensitive, no match
+        ([" G H"], ["G I"]),
+    ]
+    df = spark.createDataFrame(cases, "a array<string>, b array<string>")
+    got = [r["v"] for r in df.select(
+        author_firstname_match_col(F.col("a"), F.col("b")).alias("v")).collect()]
+    assert got == [ref_impl(a, b) for a, b in cases]
+
+
+def test_firstname_match_not_in_feature_cols():
+    # the reference lists it in FEATURE_COLS but never emits it
+    # (src/modeling_utils.py:30-39 vs feature_engineering_utils.py:187-201);
+    # our default frame mirrors what the reference actually produces
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        FEATURE_COLS,
+    )
+
+    assert "author_firstname_match" not in FEATURE_COLS
+    assert "digit_overlap" not in FEATURE_COLS
 
 
 # --- year features (ref :197-198) -----------------------------------------

@@ -129,3 +129,156 @@ def test_merge_upsert_end_to_end_rescore(spark, tmp_path):
     assert rows["e1"]["predictions"][0]["right_id"] == "x2"
     # e2 was not in the rescore batch: model A's row survives
     assert rows["e2"]["predictions"][0]["right_id"] == "x3"
+
+
+# --- S4: per-group references.json scan (ref parse_util.py:593-630) -------
+
+def test_read_references_json(spark, tmp_path):
+    import json
+
+    from lab02_citation_matching_and_entity_resolution_spark.sources.adapters import (
+        read_references_json,
+    )
+
+    a = tmp_path / "paperA"
+    a.mkdir()
+    (a / "references.json").write_text(json.dumps({
+        "1901.00001": {
+            "paper_title": "Deep Things",
+            "authors": ["Ada Lovelace", "Alan Turing"],
+            "submission_date": "2019-01-02",
+        },
+        "old42": {
+            "paper_title": "Very Old",
+            "authors": [],
+            "submission_date": "circa 1987 maybe",
+        },
+    }))
+    b = tmp_path / "paperB"
+    b.mkdir()
+    (b / "references.json").write_text("{NOT VALID JSON")  # whole group dropped
+    c = tmp_path / "paperC"
+    c.mkdir()
+    (c / "references.json").write_text(json.dumps({
+        "x": {"paper_title": "No Date No Authors"},
+    }))
+
+    rows = {
+        (r["paper_id"], r["ref_id"]): r
+        for r in read_references_json(
+            spark, str(tmp_path / "*" / "references.json")
+        ).collect()
+    }
+    assert set(rows) == {("paperA", "1901.00001"), ("paperA", "old42"), ("paperC", "x")}
+    r1 = rows[("paperA", "1901.00001")]
+    assert r1["title"] == "Deep Things"
+    assert r1["authors"] == ["Ada Lovelace", "Alan Turing"]
+    assert r1["year"] == "2019"
+    assert r1["arxiv"] == "1901.00001"
+    assert rows[("paperA", "old42")]["year"] == "1987"  # regex finds year anywhere
+    rc = rows[("paperC", "x")]
+    assert rc["authors"] == [] and rc["year"] == ""  # missing fields coalesce
+
+
+# --- S6: LaTeX project scan (ref parse_util.py:1037-1095) -----------------
+
+def _latex_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "project_id string, relpath string, content string"
+    )
+
+
+def test_latex_assemble_inline_and_includeonly(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.sources.latex import (
+        assemble_latex_projects,
+    )
+
+    rows = [
+        ("p1", "main.tex",
+         "\\documentclass{article}\\includeonly{appendix}\n"
+         "BODY % trailing comment with \\input{ghost}\n"
+         "\\input{sec/intro}\n"
+         "\\include{appendix}\n"
+         "\\include{blocked}\n"
+         "\\import{extra/}{note}\n"),
+        ("p1", "sec/intro.tex", "INTRO \\input{../shared}"),
+        ("p1", "shared.tex", "SHARED"),
+        ("p1", "appendix.tex", "APPENDIX"),
+        ("p1", "blocked.tex", "MUST NOT APPEAR"),
+        ("p1", "extra/note.tex", "NOTE"),
+    ]
+    out = assemble_latex_projects(_latex_df(spark, rows)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["main_path"] == "main.tex"
+    text = row["text"]
+    assert "BODY" in text and "INTRO" in text and "SHARED" in text
+    assert "APPENDIX" in text and "NOTE" in text
+    assert "MUST NOT APPEAR" not in text      # \include filtered by \includeonly
+    assert "ghost" not in text                 # comment stripped before parsing
+    assert "\\includeonly" not in text         # directive removed from output
+
+
+def test_latex_assemble_cycle_and_missing_include(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.sources.latex import (
+        assemble_latex_projects,
+    )
+
+    rows = [
+        ("p1", "main.tex", "\\documentclass{x} A\\input{b}\\input{nowhere}"),
+        ("p1", "b.tex", "B\\input{main}"),   # cycle back to main -> ""
+    ]
+    out = assemble_latex_projects(_latex_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["text"].replace(" ", "") == "\\documentclass{x}AB"
+
+
+def test_latex_main_detection_priority(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.sources.latex import (
+        assemble_latex_projects,
+        find_main_tex,
+    )
+
+    # 1) well-known root name beats everything
+    assert find_main_tex({
+        "zzz.tex": "\\documentclass{a}\\input{x}",
+        "paper.tex": "no markers at all",
+    }) == "paper.tex"
+    # 2) include-command head probe beats documentclass
+    assert find_main_tex({
+        "b_class.tex": "\\documentclass{a}",
+        "a_incl.tex": "\\input{something}",
+    }) == "a_incl.tex"
+    # 3) documentclass fallback
+    assert find_main_tex({
+        "x.tex": "plain", "y.tex": "\\documentclass{a}",
+    }) == "y.tex"
+    # 4) none -> project emits no row
+    out = assemble_latex_projects(
+        _latex_df(spark, [("p9", "x.tex", "nothing"), ("p9", "y.tex", "here")])
+    ).collect()
+    assert out == []
+
+
+def test_latex_loader_roundtrip(spark, tmp_path):
+    from lab02_citation_matching_and_entity_resolution_spark.sources.latex import (
+        assemble_latex_projects,
+        read_latex_project_files,
+    )
+
+    proj = tmp_path / "arxiv_1234"
+    (proj / "sec").mkdir(parents=True)
+    (proj / "main.tex").write_text("\\documentclass{a}ROOT\\input{sec/body}")
+    (proj / "sec" / "body.tex").write_text("LEAF")
+    (proj / "notes.txt").write_text("not tex; ignored")
+    stray = tmp_path / "stray.tex"
+    stray.write_text("no project dir; dropped")
+
+    files = read_latex_project_files(spark, str(tmp_path))
+    got = {(r["project_id"], r["relpath"]) for r in files.collect()}
+    assert got == {("arxiv_1234", "main.tex"), ("arxiv_1234", "sec/body.tex")}
+
+    out = assemble_latex_projects(files).collect()
+    assert len(out) == 1
+    assert out[0]["project_id"] == "arxiv_1234"
+    assert "ROOT" in out[0]["text"] and "LEAF" in out[0]["text"]
