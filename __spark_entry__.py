@@ -107,8 +107,12 @@ def _registry():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in _registry().items()}
+    return {name: spec.fn for name, spec in _registry().items() if spec.driver}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.sql for name, spec in _registry().items() if spec.sql is not None}
+    return {
+        name: spec.sql
+        for name, spec in _registry().items()
+        if spec.driver and spec.sql is not None
+    }

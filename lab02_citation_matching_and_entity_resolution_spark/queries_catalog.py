@@ -44,14 +44,24 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: Optional[str]  # None => non-SQL-expressible; driver does rows-only check
     note: str = ""
+    driver: bool = True  # False => suite-witnessed only (driver caps at 50)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def q(name: str, sql: Optional[str], note: str = ""):
+def q(name: str, sql: Optional[str], note: str = "", driver: bool = True):
+    """Register a catalog query.
+
+    ``driver=False`` entries get the SAME DuckDB-parity witness in the test
+    suite (tests/test_oracle_parity.py iterates the full REGISTRY) but are
+    excluded from ``__spark_entry__.queries()``: the driver records only the
+    first 50 registered entries, so overflow rows would be silently dropped —
+    excluding them explicitly keeps the driver's 50 green rows stable.
+    """
+
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn, sql, note)
+        REGISTRY[name] = QuerySpec(fn, sql, note, driver)
         return fn
 
     return deco

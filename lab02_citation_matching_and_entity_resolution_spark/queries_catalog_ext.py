@@ -748,3 +748,103 @@ def f1_f5_normalize_text(spark, sf_dir):
         .where(domain)
         .select("doc_id", normalize_text_udf()(F.col("text")).alias("text_norm"))
     )
+
+
+# =========================================================================
+# Catalog batch 4: round-5 additions — the two formerly-excluded feature
+# functions (SURVEY §2.7 F18/F23), witnessed end-to-end with DuckDB oracles.
+# The documents corpus carries no digits and no author arrays, so both
+# queries first BUILD the inputs deterministically from documents columns
+# (text + n_chars + doc_id decade for F18; two-token pseudo-authors from the
+# leading text tokens for F23) and then apply the real operator columns.
+# =========================================================================
+
+q_f18_digit_overlap_sql = r"""
+WITH built AS (
+  SELECT doc_id,
+         concat_ws(' ', text, CAST(n_chars AS VARCHAR),
+                   CAST(CAST(floor(doc_id / 10) AS BIGINT) AS VARCHAR)) AS t
+  FROM documents
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       len(list_intersect(list_distinct(regexp_extract_all(a.t, '\d+')),
+                          list_distinct(regexp_extract_all(b.t, '\d+')))) AS digit_overlap
+FROM built a JOIN built b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+@q("f18_digit_overlap", q_f18_digit_overlap_sql,
+   "F18: shared numeric-token count between adjacent docs' built texts "
+   "(ref feature_engineering_utils.py:92-96; computed-but-never-emitted "
+   "in the reference, so it stays out of FEATURE_COLS)",
+   driver=False)
+def f18_digit_overlap(spark, sf_dir):
+    from .operators.features import digit_overlap_col
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "text",
+            F.col("n_chars").cast("string"),
+            F.floor(F.col("doc_id") / 10).cast("long").cast("string"),
+        ).alias("t"),
+    )
+    a = docs.select(F.col("doc_id").alias("left_id"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("right_id"), F.col("t").alias("tb"))
+    return a.join(b, a.left_id + 1 == b.right_id).select(
+        "left_id",
+        "right_id",
+        digit_overlap_col(F.col("ta"), F.col("tb")).alias("digit_overlap"),
+    )
+
+
+q_f23_firstname_match_sql = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+fn AS (
+  SELECT doc_id, list_filter([tk[1], tk[3]], x -> x IS NOT NULL) AS f
+  FROM toks
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(CASE WHEN len(a.f) = 0 OR len(b.f) = 0 THEN 0.0
+                 WHEN len(list_intersect(a.f, b.f)) > 0 THEN 1.0
+                 ELSE 0.0 END AS DOUBLE) AS firstname_match
+FROM fn a JOIN fn b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+@q("f23_firstname_match", q_f23_firstname_match_sql,
+   "F23: any-shared-author-FIRST-name flag over two-token pseudo-authors "
+   "built from the leading text tokens (ref feature_engineering_utils.py:"
+   "145-155; listed in the reference's FEATURE_COLS but never emitted — "
+   "latent upstream bug, SURVEY §5.4 — so it stays out of FEATURE_COLS)",
+   driver=False)
+def f23_firstname_match(spark, sf_dir):
+    from .operators.features import author_firstname_match_col
+
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("tk")
+    )
+    # two-token pseudo-authors: "tok0 tok1" and "tok2 tok3" (missing tokens
+    # degrade to shorter authors; all-missing degrades to '' and is dropped,
+    # exercising the either-empty -> 0.0 rule)
+    authors = toks.select(
+        "doc_id",
+        F.filter(
+            F.array(
+                F.concat_ws(" ", F.get("tk", 0), F.get("tk", 1)),
+                F.concat_ws(" ", F.get("tk", 2), F.get("tk", 3)),
+            ),
+            lambda x: x != "",
+        ).alias("authors"),
+    )
+    a = authors.select(F.col("doc_id").alias("left_id"), F.col("authors").alias("aa"))
+    b = authors.select(F.col("doc_id").alias("right_id"), F.col("authors").alias("ab"))
+    return a.join(b, a.left_id + 1 == b.right_id).select(
+        "left_id",
+        "right_id",
+        author_firstname_match_col(F.col("aa"), F.col("ab")).alias("firstname_match"),
+    )
