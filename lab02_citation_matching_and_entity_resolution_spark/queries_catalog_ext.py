@@ -848,3 +848,134 @@ def f23_firstname_match(spark, sf_dir):
         "right_id",
         author_firstname_match_col(F.col("aa"), F.col("ab")).alias("firstname_match"),
     )
+
+
+q_f21_f22_author_set_flags_sql = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+auth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(
+                     [concat_ws(' ', tk[1], tk[2]), concat_ws(' ', tk[3], tk[4])],
+                     x -> x <> '')
+         END AS a
+  FROM toks
+),
+ln AS (
+  SELECT doc_id, a,
+         list_transform(a, x -> string_split(x, ' ')[-1]) AS last_names
+  FROM auth
+)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       CASE WHEN len(list_distinct(l.a)) = 0 OR len(list_distinct(r.a)) = 0
+            THEN 0.0
+            ELSE CAST(len(list_intersect(list_distinct(l.a), list_distinct(r.a))) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.a, r.a)))
+       END AS author_overlap,
+       CASE WHEN len(list_distinct(l.last_names)) = 0
+              OR len(list_distinct(r.last_names)) = 0 THEN 0.0
+            WHEN len(list_intersect(list_distinct(l.last_names),
+                                    list_distinct(r.last_names))) > 0 THEN 1.0
+            ELSE 0.0
+       END AS lastname_match
+FROM ln l JOIN ln r ON l.doc_id + 1 = r.doc_id
+"""
+
+
+@q("f21_f22_author_set_flags", q_f21_f22_author_set_flags_sql,
+   "F21+F22: either-empty-zero author-set jaccard (ref author_overlap "
+   "convention, feature_engineering_utils.py:120-133) and any-shared-LAST-"
+   "name flag (ref :135-143) over two-token pseudo-authors built from the "
+   "leading text tokens; doc_id % 7 == 0 rows get an EMPTY author set so "
+   "the either-empty -> 0.0 rule is exercised on real pairs",
+   driver=False)
+def f21_f22_author_set_flags(spark, sf_dir):
+    from .operators.features import any_shared_col, either_empty_jaccard_col
+
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("tk")
+    )
+    authors = toks.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.filter(
+                F.array(
+                    F.concat_ws(" ", F.get("tk", 0), F.get("tk", 1)),
+                    F.concat_ws(" ", F.get("tk", 2), F.get("tk", 3)),
+                ),
+                lambda x: x != "",
+            )
+        ).alias("a"),
+    )
+    ln = authors.select(
+        "doc_id",
+        "a",
+        F.transform("a", lambda x: F.element_at(F.split(x, " "), -1)).alias(
+            "last_names"
+        ),
+    )
+    l = ln.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("a").alias("la"),
+        F.col("last_names").alias("lln"),
+    )
+    r = ln.select(
+        F.col("doc_id").alias("right_id"),
+        F.col("a").alias("ra"),
+        F.col("last_names").alias("rln"),
+    )
+    return l.join(r, l.left_id + 1 == r.right_id).select(
+        "left_id",
+        "right_id",
+        either_empty_jaccard_col(F.col("la"), F.col("ra")).alias("author_overlap"),
+        any_shared_col(F.col("lln"), F.col("rln")).alias("lastname_match"),
+    )
+
+
+q_d5_token_filter_sql = """
+WITH built AS (
+  SELECT doc_id, concat_ws(' ', 'the', text, 'of', 'x') AS t
+  FROM documents
+)
+SELECT doc_id, len(f) AS n_kept, array_to_string(f, ' ') AS kept_text
+FROM (
+  SELECT doc_id,
+         list_filter(
+           list_filter(string_split(t, ' '), x -> x <> ''),
+           tok -> tok IS NOT NULL AND length(tok) > 1
+                  AND NOT list_contains(
+                        ['a','an','the','and','of','in','for','on','to',
+                         'with','by','at','from','as'], tok)
+         ) AS f
+  FROM built
+)
+"""
+
+
+@q("d5_token_filter", q_d5_token_filter_sql,
+   "D5/F10-F11: title-token post-processing — drop stopwords and single-"
+   "char tokens (ref _filter_title_tokens, parse_util.py:257-261).  The "
+   "built text injects 'the'/'of'/'x' so every row demonstrably drops "
+   "tokens (453/500 sf0.01 docs also carry natural stopwords)",
+   driver=False)
+def d5_token_filter(spark, sf_dir):
+    from .operators.assemble import token_filter_expr
+
+    built = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.lit("the"), "text", F.lit("of"), F.lit("x")).alias("t"),
+    )
+    toks = built.select(
+        "doc_id", F.filter(F.split("t", " "), lambda x: x != "").alias("tk")
+    )
+    filt = toks.select("doc_id", token_filter_expr("tk").alias("f"))
+    return filt.select(
+        "doc_id",
+        F.size("f").alias("n_kept"),
+        F.concat_ws(" ", "f").alias("kept_text"),
+    )
