@@ -41,8 +41,8 @@ STORE_ROOT = os.environ.get(
 
 def _shuffle_totals(spark) -> tuple[int, int]:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over completed stages
-    via the REST API; (0, 0) when the UI is unreachable (recorded as null
-    deltas downstream, never a crash)."""
+    via the REST API; (-1, -1) when the UI is unreachable (the stage context
+    guards on ``>= 0`` and records null deltas downstream, never a crash)."""
     try:
         base = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
         app_id = spark.sparkContext.applicationId

@@ -248,7 +248,10 @@ def main() -> None:
                 round(n_pairs / fast_sec, 1) if fast_sec > 0 else 0.0
             )
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
-            model_leg = {"error": f"{type(exc).__name__}: {exc}"}
+            # merge, don't rebind: a fast-leg failure must not clobber the
+            # already-measured pipeline-leg fields
+            err = {"error": f"{type(exc).__name__}: {exc}"}
+            model_leg = {**model_leg, **err} if isinstance(model_leg, dict) else err
 
     # ---- operator library on the driver's tables ----
     for name in ["a5_sum_rollups", "j1_blocked_all_pairs", "w3_topk_per_group",

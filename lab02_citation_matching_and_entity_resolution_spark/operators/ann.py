@@ -172,23 +172,31 @@ def ivf_topk(
     query_id_col: str = "query_id",
     refine: int = 0,
     centroids: DataFrame | None = None,
+    assigned_items: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-blocked approximate top-k: join items and queries on cell_id only.
 
     ``refine`` > 0 runs that many Lloyd re-centering rounds over the seeds
     (production path; the oracled catalog query keeps refine=0 for
     engine-exact centroids).  ``centroids`` short-circuits seeding/refining
-    with a prebuilt (cell_id, centroid, cnorm) frame — callers probing
-    multiple n_probe values (e.g. ivf_recall_audit) build the index once."""
+    with a prebuilt (cell_id, centroid, cnorm) frame, and ``assigned_items``
+    additionally short-circuits the item-side cell assignment (an all-items
+    × broadcast-centroids pass) with a prebuilt assign_cells(items, cents,
+    n_probe=1) frame — callers probing multiple n_probe values (e.g.
+    ivf_recall_audit) build the index AND the item assignment once; only the
+    n_probe-dependent query-side assignment re-runs per probe."""
     if centroids is not None:
         cents = centroids
     else:
         cents = seed_centroids(items, n_cells, id_col, vec_col)  # local relation, broadcast below
         if refine:
             cents = refine_centroids(items, cents, rounds=refine, id_col=id_col, vec_col=vec_col)
-    it = assign_cells(items, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
-        vec_col, "iv"
-    )
+    if assigned_items is not None:
+        it = assigned_items.withColumnRenamed(vec_col, "iv")
+    else:
+        it = assign_cells(items, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
+            vec_col, "iv"
+        )
     qs = assign_cells(
         queries, cents, query_id_col, vec_col, n_probe=n_probe, out_id=query_id_col
     ).withColumnRenamed(vec_col, "qv")
@@ -232,9 +240,15 @@ def ivf_recall_audit(
 
     Sampling is md5-ranked (order-free, engine-portable) and bounded by
     ``sample_queries``; brute force runs ONCE on the sample (broadcast
-    queries, items stream through), the IVF index is built ONCE and reused
-    across all n_probe values.  Cost: one brute-force pass over items plus
-    len(n_probes) cell-join probes — all on the bounded sample.
+    queries, items stream through), and the IVF index AND the item-side cell
+    assignment are built ONCE and reused across all n_probe values (only the
+    n_probe-dependent query-side assignment, bounded by the sample, re-runs
+    per probe).  Cost: one brute-force pass + one assignment pass over items
+    plus len(n_probes) cell-join probes.
+
+    Recall denominates by each query's ACTUAL truth-set size, not k: with
+    fewer than k items in the corpus a perfect retrieval would otherwise
+    read as recall n_items/k and raise a false alarm in the metrics sink.
 
     Returns (n_probe, k, n_queries, mean_recall, min_recall), tiny — shaped
     for the lineage metrics sink.
@@ -258,13 +272,20 @@ def ivf_recall_audit(
     cents = seed_centroids(items, n_cells, id_col, vec_col)
     if refine:
         cents = refine_centroids(items, cents, rounds=refine, id_col=id_col, vec_col=vec_col)
+    assigned = assign_cells(items, cents, id_col, vec_col, n_probe=1).persist()
+
+    # per-query truth-set size — the recall denominator (NOT k: a corpus
+    # smaller than k makes hits/k understate a perfect retrieval)
+    truth_sizes = truth.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
 
     rows = []
     for n_probe in n_probes:
         approx = ivf_topk(
             items, sampled, k=k, n_cells=n_cells, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-            centroids=cents,
+            centroids=cents, assigned_items=assigned,
         ).select(query_id_col, id_col)
         per_query = (
             truth.join(approx, [query_id_col, id_col], "left_semi")
@@ -274,12 +295,12 @@ def ivf_recall_audit(
         # queries whose ENTIRE truth set was missed produce no row — the
         # right join base is the truth-side query list
         agg = (
-            truth.select(query_id_col).distinct()
+            truth_sizes
             .join(per_query, query_id_col, "left")
             .fillna({"hits": 0})
             .agg(
-                F.avg(F.col("hits") / F.lit(k)).alias("mean_recall"),
-                F.min(F.col("hits") / F.lit(k)).alias("min_recall"),
+                F.avg(F.col("hits") / F.col("n_truth")).alias("mean_recall"),
+                F.min(F.col("hits") / F.col("n_truth")).alias("min_recall"),
             )
             .collect()[0]
         )
@@ -293,6 +314,7 @@ def ivf_recall_audit(
             )
         )
     truth.unpersist()
+    assigned.unpersist()
     return items.sparkSession.createDataFrame(
         rows,
         "n_probe int, k int, n_queries int, mean_recall double, min_recall double",

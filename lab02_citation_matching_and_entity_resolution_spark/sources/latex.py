@@ -218,7 +218,16 @@ def read_latex_project_files(spark: SparkSession, root: str) -> DataFrame:
     ``root``, relpath the remainder.  Files sitting directly in ``root``
     (no project directory) are dropped — every file must belong to a group.
     """
+    from urllib.parse import quote
+
     marker = root.rstrip("/") + "/"
+    # input_file_name() yields the Hadoop Path URI, which percent-encodes
+    # e.g. spaces — match the marker in BOTH raw and URI-encoded spelling
+    # (quote keeps '/'':' and, like java.net.URI, leaves '+' alone), and fail
+    # LOUDLY if neither matched: the pre-r5 string match silently left the
+    # full URI in place on mismatch, collapsing every file into a bogus
+    # project_id of 'file:'.
+    enc_marker = quote(marker, safe="/:")
     raw = (
         spark.read.option("wholetext", True)
         .option("recursiveFileLookup", True)
@@ -226,7 +235,25 @@ def read_latex_project_files(spark: SparkSession, root: str) -> DataFrame:
         .text(root)
         .select(F.input_file_name().alias("_file"), "value")
     )
-    rel = F.regexp_replace(F.col("_file"), "^.*?" + re.escape(marker), "")
+    pat = "^.*?(?:" + re.escape(marker) + "|" + re.escape(enc_marker) + ")"
+    stripped = F.regexp_replace(F.col("_file"), pat, "")
+    # decode the URI remainder back to real path components; '+' is literal
+    # in a java.net.URI path (only %-escapes encode), so protect it from
+    # url_decode's form-decoding ('+' -> ' ') by re-escaping it first
+    rel_raw = F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+    rel = F.when(
+        # an unsubstituted row still carries the URI scheme prefix
+        rel_raw.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:/"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "read_latex_project_files: cannot derive relpath under "
+                    f"root {marker!r} from file "
+                ),
+                F.col("_file"),
+            )
+        ),
+    ).otherwise(rel_raw)
     return (
         raw.select(
             rel.alias("_rel"),

@@ -21,12 +21,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _sql_literal(v) -> str:
-    """SQL literal for a partition value (int/float/bool/str)."""
+    """SQL literal for a partition value (int/float/bool/str ONLY).
+
+    Anything else raises: silently rendering e.g. None as the string 'None'
+    would make the MERGE ON clause never match existing rows, so every
+    re-merge of that key would INSERT a duplicate — the exact corruption
+    merge semantics exist to prevent."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(
+        f"unsupported partition-value type {type(v).__name__!r} ({v!r}); "
+        "partition values must be int/float/bool/str and non-null"
+    )
+
+
+def _check_partition_values(vals: list, partition_col: str) -> None:
+    """NULL partition values break upserts in BOTH store backends: SQL
+    equality in the Iceberg MERGE ON clause is never true for NULL (the row
+    re-inserts forever), and ``isin(vals)`` in the parquet path never selects
+    NULL-partition rows for the anti-join (same duplicate-key outcome).
+    Refuse loudly instead."""
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"merge_upsert_partitioned: NULL value in partition column "
+            f"{partition_col!r} — NULL never equality-matches in the merge "
+            "condition, so the upsert invariant cannot hold; filter or "
+            "default the partition value upstream"
+        )
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -195,6 +220,7 @@ class TableStore:
                 return
             # bounded driver-side collect: one row per touched partition
             vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+            _check_partition_values(vals, partition_col)
             view = f"_merge_src_{name}"
             df.createOrReplaceTempView(view)
             on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
@@ -214,6 +240,7 @@ class TableStore:
             df.write.mode("overwrite").partitionBy(partition_col).parquet(self._path(name))
             return
         vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+        _check_partition_values(vals, partition_col)
         existing = self.read(name).where(col(partition_col).isin(vals))
         keep = existing.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
         result = keep.unionByName(df).localCheckpoint(eager=True)

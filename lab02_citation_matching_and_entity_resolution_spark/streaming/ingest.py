@@ -177,6 +177,14 @@ def _check_bucket_layout(store: TableStore, turns_table: str, n_buckets: int) ->
         os.fsync(f.fileno())
     try:
         os.link(tmp, meta_path)  # atomic create-exclusive publish
+        # fsync the DIRECTORY too: without it a crash can lose the meta
+        # link while later-written table data survives — which would trip
+        # the bucketed-dirs-without-meta refuse path above on restart
+        dfd = os.open(store.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except FileExistsError:
         with open(meta_path) as f:
             _validate(json.load(f)["n_buckets"])

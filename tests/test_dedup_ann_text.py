@@ -431,3 +431,22 @@ def test_ivf_recall_audit_shape_and_monotonicity(spark):
     assert got[1]["mean_recall"] <= got[4]["mean_recall"] <= got[8]["mean_recall"]
     assert got[8]["mean_recall"] == 1.0
     assert got[8]["min_recall"] == 1.0
+
+
+def test_ivf_recall_audit_truth_set_smaller_than_k(spark):
+    """Recall denominates by the per-query TRUTH-set size, not k: a corpus
+    with fewer than k items retrieved perfectly must read recall 1.0, not
+    n_items/k (a false alarm in the metrics sink)."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    audit = ann.ivf_recall_audit(
+        emb, queries, k=10, n_cells=2, n_probes=(2,), sample_queries=5
+    )
+    r = audit.collect()[0]
+    assert r["n_queries"] == 5
+    assert r["mean_recall"] == 1.0
+    assert r["min_recall"] == 1.0

@@ -175,3 +175,41 @@ def test_iceberg_merge_upsert_bootstraps_missing_table(spark):
     df.writeTo.return_value.using.return_value.create.assert_called_once()
     fake.sql.assert_not_called()
     df.write.mode.assert_not_called()
+
+
+def test_iceberg_merge_upsert_partitioned_refuses_null_partition(spark):
+    """A NULL partition value can never equality-match in the MERGE ON
+    clause, so the same key would re-INSERT on every merge — refuse loudly
+    instead of rendering the Python None as the string literal 'None'."""
+    import pytest
+
+    fake = _fake_spark_with_catalog()
+    store = TableStore(fake, "/tmp/unused", catalog="er")
+    df = MagicMock()
+    df.select.return_value.distinct.return_value.collect.return_value = [
+        (None,), (3,),
+    ]
+    with pytest.raises(ValueError, match="NULL value in partition column"):
+        store.merge_upsert_partitioned(
+            df, "docs", key_cols=["conv_id"], partition_col="conv_bucket"
+        )
+    fake.sql.assert_not_called()
+
+
+def test_sql_literal_rejects_unsupported_types():
+    """Non-scalar partition values must raise, not stringify."""
+    import datetime
+
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.sources.tables import (
+        _sql_literal,
+    )
+
+    assert _sql_literal(7) == "7"
+    assert _sql_literal(True) == "TRUE"
+    assert _sql_literal("o'k") == "'o''k'"
+    with pytest.raises(TypeError):
+        _sql_literal(None)
+    with pytest.raises(TypeError):
+        _sql_literal(datetime.date(2026, 1, 1))

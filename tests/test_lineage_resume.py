@@ -57,3 +57,29 @@ def test_metrics_table_roundtrip(spark, tmp_path):
         (0, "pairs_generated", 123.0),
         (1, "pairs_capped", 4.0),
     }
+
+
+def test_parquet_merge_upsert_partitioned_refuses_null_partition(spark, tmp_path):
+    """Parquet path: NULL partition values break the isin() partition filter
+    the same way NULL breaks SQL equality — the anti-join can never see the
+    old row, so the 'upsert' would accumulate duplicate keys.  Refuse."""
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.sources.tables import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("c1", 0, "x"), ("c2", 1, "y")], "conv_id string, b int, v string"
+    )
+    store.merge_upsert_partitioned(base, "t", key_cols=["conv_id"], partition_col="b")
+    bad = spark.createDataFrame(
+        [("c1", None, "z")], "conv_id string, b int, v string"
+    )
+    with pytest.raises(ValueError, match="NULL value in partition column"):
+        store.merge_upsert_partitioned(bad, "t", key_cols=["conv_id"], partition_col="b")
+    # table unchanged by the refused merge
+    assert {(r["conv_id"], r["v"]) for r in store.read("t").collect()} == {
+        ("c1", "x"), ("c2", "y")
+    }

@@ -282,3 +282,25 @@ def test_latex_loader_roundtrip(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["project_id"] == "arxiv_1234"
     assert "ROOT" in out[0]["text"] and "LEAF" in out[0]["text"]
+
+
+def test_latex_loader_root_with_uri_encoded_chars(spark, tmp_path):
+    """input_file_name() returns the Hadoop Path URI, which percent-encodes
+    spaces: pre-r5 the raw-root string match silently failed and every file
+    collapsed into project_id 'file:'.  The loader now matches the encoded
+    spelling too."""
+    from lab02_citation_matching_and_entity_resolution_spark.sources.latex import (
+        read_latex_project_files,
+    )
+
+    root = tmp_path / "my projects"
+    proj = root / "p one"
+    proj.mkdir(parents=True)
+    (proj / "main.tex").write_text("\\documentclass{a}BODY")
+    plus = root / "p+q"  # literal '+' must survive the URI round-trip
+    plus.mkdir()
+    (plus / "main.tex").write_text("\\documentclass{a}PLUS")
+
+    files = read_latex_project_files(spark, str(root))
+    got = {(r["project_id"], r["relpath"]) for r in files.collect()}
+    assert got == {("p one", "main.tex"), ("p+q", "main.tex")}
