@@ -31,6 +31,26 @@ from .blocking import shingle_expr
 CAP_METRICS_SCHEMA = "block_key string, block_size long, cap int, rows_dropped long"
 
 
+def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Rebalance a too-narrow input before a work-amplifying map stage.
+
+    A small parquet file (or one giant row group) scans as ONE task, so the
+    shingle/hash fan-out that follows — hundreds of derived rows per input
+    row — serializes on a single core no matter how many the session has
+    (measured 4.5x on the sf0.1 minhash leg: the 5000-doc table is a single
+    row group).  When the input already has >= min_partitions (default:
+    defaultParallelism) partitions this is a NO-OP — no shuffle is added in
+    the many-files 100 TB case; the repartition fires exactly when the scan
+    is narrow, where it is cheap (little data per partition) and necessary.
+    All downstream caps/signatures are md5-ranked and therefore partition-
+    stable, so results are byte-identical either way."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _md5_i64(col: F.Column, salt: int) -> F.Column:
     """Deterministic 63-bit int hash from md5 (portable to DuckDB: same md5)."""
     return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{salt}"))), 1, 15), 16, 10).cast(
@@ -124,7 +144,7 @@ def ngram_jaccard_pairs(
     discarded). At 100 TB, prefer finer caller-supplied blocks (LSH band,
     fingerprint prefix) over raising the cap.
     """
-    sh = docs.select(
+    sh = fan_out_narrow_input(docs).select(
         *block_cols, F.col(id_col), shingle_expr(text_col, n).alias("sh")
     ).where(F.size("sh") > 0)
     metrics = None
@@ -163,7 +183,7 @@ def minhash_signatures(
     oracle parity); hash_fn="xxhash64" is ~10x cheaper and is what the ER
     blocking hot path uses.
     """
-    exploded = docs.select(
+    exploded = fan_out_narrow_input(docs).select(
         F.col(id_col), F.explode(shingle_expr(text_col, shingle_n)).alias("sh")
     )
     if hash_fn == "md5":
@@ -253,7 +273,7 @@ def simhash64(
     DuckDB reproduces the exact same simhash values (oracle parity; bits
     60-63 stay zero in both engines).
     """
-    toks = docs.select(
+    toks = fan_out_narrow_input(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     if hash_fn == "md5":
