@@ -167,3 +167,155 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             "fingerprint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the three remaining stages a production training-data
+# pipeline runs over every document — PII redaction, repetition-based
+# quality filters (Gopher/C4-style), and benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+# Patterns are kept in the RE2-compatible subset (no lookarounds) so the
+# DuckDB oracle applies the byte-identical regex.  Order matters: emails are
+# redacted before phones (a phone pattern could otherwise eat digit runs
+# inside an address), IPs before phones for the same reason.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs with typed placeholders.
+
+    Returns (id, text_scrubbed, n_email, n_ip, n_phone).  Counts are taken
+    on the progressively-scrubbed text in the SAME order as the
+    replacements, so a span can only be counted (and redacted) once even
+    when patterns overlap.  Pure regexp_count/regexp_replace — stays inside
+    whole-stage codegen; this runs over every document at corpus scale.
+    """
+    text = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        text = F.regexp_replace(text, pat, repl)
+    return docs.select(F.col(id_col), text.alias("text_scrubbed"), *counts)
+
+
+def _words_col(text_col: str) -> F.Column:
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+
+def word_ngrams_col(text_col: str, n: int) -> F.Column:
+    """Distinct-preserving word n-grams of a text column (space-joined),
+    empty array when the doc has fewer than n words.  Native transform over
+    sequence — the word-level analogue of blocking.shingle_expr."""
+    toks = _words_col(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, one row per doc:
+
+      n_lines / dup_line_frac      1 - distinct non-blank lines / lines
+      n_words / top_word_frac      most-frequent-word share of all words
+      dup_ngram_frac               1 - distinct word n-grams / n-grams
+
+    dup_line_frac and dup_ngram_frac are pure array expressions (zero
+    shuffle); top_word_frac needs a per-(doc, word) count — explode +
+    two map-side-combinable aggregations, the Spark-right shape for a
+    per-doc histogram argmax at corpus scale.
+    """
+    from .dedup import fan_out_narrow_input
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    grams = word_ngrams_col(text_col, ngram_n)
+    base = fan_out_narrow_input(docs).select(
+        F.col(id_col),
+        _words_col(text_col).alias("_w"),
+        F.size(lines).alias("n_lines"),
+        F.when(F.size(lines) > 0,
+               1.0 - F.size(F.array_distinct(lines)) / F.size(lines))
+         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(F.size(grams) > 0,
+               1.0 - F.size(F.array_distinct(grams)) / F.size(grams))
+         .otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+    )
+    words = base.select(F.col(id_col), F.explode("_w").alias("w"))
+    top = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_words"))
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            (F.col("top_c") / F.col("n_words")).alias("top_word_frac"),
+        )
+    )
+    return (
+        base.drop("_w")
+        .join(top, id_col, "left")
+        .fillna({"n_words": 0, "top_word_frac": 0.0})
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY word
+    ``n``-gram with a benchmark/eval corpus (the standard 13-gram rule).
+
+    Returns contaminated docs only: (id, n_hits, sample_ngram) where
+    n_hits counts DISTINCT shared n-grams and sample_ngram is the
+    lexicographically first (deterministic evidence for audits).
+
+    Scale shape: both sides explode to distinct n-grams; the benchmark side
+    is distinct-reduced and — benchmarks being orders of magnitude smaller
+    than training corpora — broadcast by default, so the training side
+    streams map-only with no shuffle.  Set broadcast_benchmark=False to
+    fall back to a shuffle hash join when the benchmark side is itself
+    huge.
+    """
+    from .dedup import fan_out_narrow_input
+
+    doc_grams = fan_out_narrow_input(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("g"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(word_ngrams_col(bench_text_col, n))).alias("g")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        doc_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("g").alias("sample_ngram"),
+        )
+    )

@@ -979,3 +979,154 @@ def d5_token_filter(spark, sf_dir):
         F.size("f").alias("n_kept"),
         F.concat_ws(" ", "f").alias("kept_text"),
     )
+
+
+# =========================================================================
+# Catalog batch 5: round-5 LLM-pipeline stages — PII scrub, repetition
+# quality stats, benchmark decontamination.  All driver=False (the driver
+# registry is capped at its curated 50); the suite applies the identical
+# DuckDB parity gate.  PII regexes live in textstats.PII_PATTERNS and are
+# inlined here verbatim — kept in the RE2-compatible subset so both engines
+# run the byte-identical pattern.
+# =========================================================================
+
+q_text_pii_scrub_sql = r"""
+WITH built AS (
+  SELECT doc_id,
+         concat_ws(' ', text, 'contact',
+                   concat('u', CAST(doc_id AS VARCHAR), '@example.com'),
+                   'ip', concat('10.0.0.', CAST(doc_id % 256 AS VARCHAR)),
+                   'call', concat('+1-555-123-4',
+                                  lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))) AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM built),
+s2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t2, '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}')) AS n_phone,
+         regexp_replace(t2, '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}', '<PHONE>', 'g') AS text_scrubbed
+  FROM s2)
+SELECT doc_id, text_scrubbed, n_email, n_ip, n_phone FROM s3
+"""
+
+
+@q("text_pii_scrub", q_text_pii_scrub_sql,
+   "PII redaction over every doc (email/IPv4/phone, typed placeholders, "
+   "ordered so a span is counted+redacted exactly once); the corpus carries "
+   "no PII so the built text injects one of each deterministically",
+   driver=False)
+def text_pii_scrub(spark, sf_dir):
+    built = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "text",
+            F.lit("contact"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.lit("ip"),
+            F.concat(F.lit("10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            F.lit("call"),
+            F.concat(
+                F.lit("+1-555-123-4"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).alias("t"),
+    )
+    return textstats.pii_scrub(built, text_col="t")
+
+
+q_text_repetition_stats_sql = r"""
+WITH built AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text
+                      ELSE concat(text, chr(10), text, chr(10), substr(text, 1, 40)) END AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+         list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS words
+  FROM built
+),
+gr AS (
+  SELECT doc_id, lines, words,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in generate_series(1, len(words)-2)]
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM base
+),
+scalar AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines) ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN len(grams) > 0 THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)/len(grams) ELSE 0.0 END AS dup_ngram_frac,
+         words
+  FROM gr
+),
+wtbl AS (SELECT doc_id, unnest(words) AS w FROM scalar),
+top AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_words
+  FROM (SELECT doc_id, w, count(*) AS c FROM wtbl GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines, s.dup_line_frac, s.dup_ngram_frac,
+       COALESCE(t.n_words, 0) AS n_words,
+       COALESCE(CAST(t.top_c AS DOUBLE)/t.n_words, 0.0) AS top_word_frac
+FROM scalar s LEFT JOIN top t ON s.doc_id = t.doc_id
+"""
+
+
+@q("text_repetition_stats", q_text_repetition_stats_sql,
+   "Gopher/C4-style repetition quality signals (dup-line fraction, dup "
+   "word-3-gram fraction, top-word share); 2/3 of built docs get duplicated "
+   "lines injected so every signal is exercised",
+   driver=False)
+def text_repetition_stats(spark, sf_dir):
+    built = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                "text", F.lit("\n"), "text", F.lit("\n"), F.substring("text", 1, 40)
+            )
+        )
+        .alias("t"),
+    )
+    return textstats.repetition_stats(built, text_col="t", ngram_n=3)
+
+
+q_text_decontaminate_sql = r"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+tg AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]
+         ELSE CAST([] AS VARCHAR[]) END)) AS g
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM train)
+),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]
+         ELSE CAST([] AS VARCHAR[]) END)) AS g
+  FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM bench)
+)
+SELECT tg.doc_id, count(*) AS n_hits, min(tg.g) AS sample_ngram
+FROM tg JOIN bg ON tg.g = bg.g GROUP BY tg.doc_id
+"""
+
+
+@q("text_decontaminate", q_text_decontaminate_sql,
+   "Benchmark decontamination: train docs (doc_id%50<>0) sharing any word "
+   "3-gram with the held-out slice (doc_id%50=0) — 257 contaminated docs at "
+   "sf0.01; production default is the standard 13-gram rule, n=3 here so "
+   "the witness is non-trivial on the small-vocabulary synthetic corpus",
+   driver=False)
+def text_decontaminate(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return textstats.decontaminate(train, bench, n=3)

@@ -450,3 +450,100 @@ def test_ivf_recall_audit_truth_set_smaller_than_k(spark):
     assert r["n_queries"] == 5
     assert r["mean_recall"] == 1.0
     assert r["min_recall"] == 1.0
+
+
+# ---- round-5 pipeline stages: PII scrub / repetition stats / decontam ----
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.org today"),
+        (2, "server 10.0.255.7 then call +1-555-123-4567 now"),
+        (3, "plain text, nothing to redact"),
+        (4, "two mails a@b.co and c@d.io plus 192.168.0.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.pii_scrub(docs).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text_scrubbed"]
+    assert "alice" not in got[1]["text_scrubbed"]
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 1
+    assert "<IP>" in got[2]["text_scrubbed"] and "<PHONE>" in got[2]["text_scrubbed"]
+    assert "555" not in got[2]["text_scrubbed"]
+    assert got[3]["n_email"] == got[3]["n_ip"] == got[3]["n_phone"] == 0
+    assert got[3]["text_scrubbed"] == rows[2][1]
+    assert got[4]["n_email"] == 2 and got[4]["n_ip"] == 1
+    # an IP must be redacted AS an IP, never double-counted as a phone
+    assert got[4]["n_phone"] == 0
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one word repeated
+            (2, "all words here are fully distinct ones"),  # clean
+            (3, "a b c\na b c\nx y z"),                     # duplicate line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(docs, ngram_n=2).collect()}
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["dup_ngram_frac"] == 0.8  # 5 bigrams, 1 distinct
+    assert got[2]["top_word_frac"] < 0.2
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert got[3]["n_lines"] == 3
+    assert abs(got[3]["dup_line_frac"] - 1 / 3) < 1e-9
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[1]["n_words"] == 6
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated training sentence with fresh words"),
+            (3, "prefix words then the quick brown fox appears here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox in this eval item")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.decontaminate(train, bench, n=4).collect()}
+    # docs 1 and 3 share the 4-gram "the quick brown fox"; doc 2 is clean
+    assert set(out) == {1, 3}
+    assert out[1]["sample_ngram"] == "the quick brown fox"
+    assert out[1]["n_hits"] >= 1
+    # short-doc rule: a benchmark shorter than n contaminates nothing
+    tiny = spark.createDataFrame([(0, "too short")], "doc_id long, text string")
+    assert textstats.decontaminate(train, tiny, n=4).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "one two three four nine")], "doc_id long, text string"
+    )
+    df = textstats.decontaminate(train, bench, n=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
