@@ -1,0 +1,111 @@
+"""Sequence packing for LLM training-data assembly (concat-and-chunk).
+
+Real training pipelines concatenate documents in a deterministic order and
+chunk the token stream at a fixed context budget; each document therefore
+belongs to the pack where its first token lands, and a document straddling a
+pack boundary is split at tokenization time.  This operator computes that
+assignment distributively.
+
+Global greedy packing is inherently sequential (every offset depends on all
+predecessors), so the scale shape is two-level, like the engine's other
+sequential-semantics operators (resolve.greedy_one_to_one):
+
+  * md5-shard the corpus into ``n_shards`` independent streams — at 100 TB
+    each shard packs in parallel and a shard's stream order never depends on
+    another shard, so adding executors scales linearly;
+  * WITHIN a shard, order by an md5 rank (engine-portable, partition-stable)
+    and take a window cumulative sum of the token counts — the window is
+    partitioned by shard, so there is NO single-partition exchange;
+  * pack = floor(start_offset / budget), straddle flag when the document
+    crosses the boundary (its tail spills into the next pack at
+    tokenization time).
+
+All hashes are md5-derived (identical bits in DuckDB — see
+queries_catalog_ext header), so a SQL oracle reproduces the exact packing.
+
+This is a beyond-reference training-pipeline operator (the reference
+repo Hutaph/LAB02 has no packing stage); it complements token counting
+(textstats.token_counts) which supplies the per-doc token weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _md5_i64
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seed: int = 7,
+) -> DataFrame:
+    """Assign each doc to a (shard, pack_id) under a fixed token budget.
+
+    Returns (id, n_tokens, shard, pack_id, start_offset, straddles) where
+    start_offset is the doc's first-token offset within its shard's stream
+    and straddles marks docs whose span crosses a pack boundary (their tail
+    belongs to pack_id+1.. at tokenization time; with budget >= max doc
+    length a straddling doc spills into exactly the next pack).
+
+    Zero-token docs are passed through with their start offset and
+    straddles=false (they consume no budget).  Raises on negative token
+    counts and on budget < 1 — silent nonsense otherwise.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(_md5_i64(sid, seed), F.lit(n_shards))
+    rank = F.md5(F.concat(sid, F.lit(f"#rank{seed}")))
+    toks = F.col(token_col).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        shard.alias("shard"),
+        rank.alias("_rank"),
+    ).withColumn(
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_sequences: negative token count for id "),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col("n_tokens")),
+    )
+    w = Window.partitionBy("shard").orderBy("_rank", id_col)
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    pack = F.floor((cum - F.col("n_tokens")) / budget).alias("pack_id")
+    straddles = (
+        (F.col("n_tokens") > 0)
+        & (F.floor((cum - 1) / budget) != F.floor((cum - F.col("n_tokens")) / budget))
+    ).alias("straddles")
+    return base.select(
+        F.col(id_col), "n_tokens", "shard", start, pack, straddles
+    )
+
+
+def pack_summary(packed: DataFrame, budget: int) -> DataFrame:
+    """Fill-rate audit over pack_sequences output: one row per (shard,
+    pack_id) with doc count, token sum, and fill fraction (tokens the pack
+    RECEIVES before spill; interior packs of a shard fill to exactly
+    ``budget`` after straddle-spill by construction, the last pack of each
+    shard is partial).  Tiny frame, shaped for the lineage metrics sink."""
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .withColumn("fill_frac", F.round(F.col("tokens_started") / budget, 4))
+    )

@@ -1130,3 +1130,39 @@ def text_decontaminate(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 50 != 0).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
     return textstats.decontaminate(train, bench, n=3)
+
+
+q_pack_sequences_sql = """
+WITH base AS (
+  SELECT doc_id, n_chars AS n_tokens,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#7')), 1, 15)) AS BIGINT) % 8 AS shard,
+         md5(concat(CAST(doc_id AS VARCHAR), '#rank7')) AS r
+  FROM documents
+),
+win AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY r, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, n_tokens, shard,
+       cum - n_tokens AS start_offset,
+       CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
+       (n_tokens > 0 AND floor((cum - 1) / 2000.0) <> floor((cum - n_tokens) / 2000.0)) AS straddles
+FROM win
+"""
+
+
+@q("pack_sequences", q_pack_sequences_sql,
+   "Concat-and-chunk sequence packing (LLM training assembly): md5-sharded "
+   "streams, per-shard window cumsum, pack = floor(start/budget) with a "
+   "straddle flag; budget=2000 'tokens' (n_chars as the weight), 8 shards "
+   "— every hash md5-derived so the packing is engine-exact",
+   driver=False)
+def pack_sequences_q(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2000, n_shards=8)

@@ -547,3 +547,61 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_concat_and_chunk_semantics(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 30) for i in range(20)] + [(100, 0)],  # 20 docs x 30 tok + empty
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(docs, budget=100, n_shards=2).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # offsets are a gapless concat stream per shard
+    for shard in (0, 1):
+        rows = sorted((r for r in out if r["shard"] == shard),
+                      key=lambda r: r["start_offset"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            assert r["pack_id"] == off // 100
+            off += r["n_tokens"]
+    # a 30-token doc starting at offset 90 straddles the 100 boundary
+    for r in out:
+        expected = r["n_tokens"] > 0 and (
+            (r["start_offset"] + r["n_tokens"] - 1) // 100 != r["start_offset"] // 100
+        )
+        assert r["straddles"] == expected, r
+    assert by_id[100]["n_tokens"] == 0 and not by_id[100]["straddles"]
+    # determinism: same seed -> same packing
+    again = pack_sequences(docs, budget=100, n_shards=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # summary fill: interior packs receive >= budget-29 started tokens
+    summ = pack_summary(pack_sequences(docs, budget=100, n_shards=2), 100)
+    assert {"shard", "pack_id", "n_docs", "tokens_started", "fill_frac"} <= set(summ.columns)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The packing window partitions by shard — no global SinglePartition
+    exchange may appear in the plan (the scale guarantee)."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    df = pack_sequences(docs, budget=64, n_shards=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
