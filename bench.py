@@ -279,6 +279,26 @@ def main() -> None:
     _force(ann.brute_force_topk(emb, queries, k=10))
     timings["ann_brute_topk"] = round(time.time() - t0, 3)
 
+    # round-5 text-pipeline stages in one leg: PII scrub + repetition stats
+    # over every doc, plus 3-gram decontamination of the doc_id%50!=0 slice
+    # against the held-out doc_id%50==0 slice (same shape as the catalog
+    # witness queries)
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    t0 = time.time()
+    _force(textstats.pii_scrub(docs_tbl))
+    _force(textstats.repetition_stats(docs_tbl))
+    _force(
+        textstats.decontaminate(
+            docs_tbl.where(F.col("doc_id") % 50 != 0).select("doc_id", "text"),
+            docs_tbl.where(F.col("doc_id") % 50 == 0).select("text"),
+            n=3,
+        )
+    )
+    timings["text_pipeline"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

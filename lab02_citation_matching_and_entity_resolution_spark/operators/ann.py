@@ -45,8 +45,13 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, vec_id, cosine, rk<=k).
 
     queries: (query_id, embedding).  Broadcast the (small) query side; the
-    item table streams through once — no shuffle of the big side.
+    item table streams through once — no shuffle of the big side (a narrow
+    single-file scan is fanned out first so the per-item scoring map
+    parallelizes; no-op when the scan already has enough partitions).
     """
+    from .dedup import fan_out_narrow_input
+
+    items = fan_out_narrow_input(items)
     it = items.select(
         F.col(id_col), F.col(vec_col).alias("iv"), _norm_col(vec_col).alias("inorm")
     )
@@ -143,7 +148,14 @@ def assign_cells(
     n_probe: int = 1,
     out_id: str = "vec_id",
 ) -> DataFrame:
-    """Attach the n_probe nearest cell ids to every vector (broadcast join)."""
+    """Attach the n_probe nearest cell ids to every vector (broadcast join).
+
+    The item side is fanned out when it arrives as a narrow single-file
+    scan (no-op otherwise) — the per-vector × n_cells similarity map is the
+    expensive part of IVF indexing and must parallelize."""
+    from .dedup import fan_out_narrow_input
+
+    items = fan_out_narrow_input(items)
     it = items.select(F.col(id_col).alias(out_id), F.col(vec_col), _norm_col(vec_col).alias("vnorm"))
     # sims rounded to 6dp BEFORE ranking: assignment becomes bit-stable across
     # engines/partitionings (cell_id tiebreak), enabling the DuckDB oracle
