@@ -194,7 +194,7 @@ def ivf_topk(
     with a prebuilt (cell_id, centroid, cnorm) frame, and ``assigned_items``
     additionally short-circuits the item-side cell assignment (an all-items
     × broadcast-centroids pass) with a prebuilt assign_cells(items, cents,
-    n_probe=1) frame — callers probing multiple n_probe values (e.g.
+    n_probe=1, out_id=id_col) frame — callers probing multiple n_probe values (e.g.
     ivf_recall_audit) build the index AND the item assignment once; only the
     n_probe-dependent query-side assignment re-runs per probe."""
     if centroids is not None:
@@ -206,7 +206,7 @@ def ivf_topk(
     if assigned_items is not None:
         it = assigned_items.withColumnRenamed(vec_col, "iv")
     else:
-        it = assign_cells(items, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
+        it = assign_cells(items, cents, id_col, vec_col, n_probe=1, out_id=id_col).withColumnRenamed(
             vec_col, "iv"
         )
     qs = assign_cells(
@@ -284,7 +284,7 @@ def ivf_recall_audit(
     cents = seed_centroids(items, n_cells, id_col, vec_col)
     if refine:
         cents = refine_centroids(items, cents, rounds=refine, id_col=id_col, vec_col=vec_col)
-    assigned = assign_cells(items, cents, id_col, vec_col, n_probe=1).persist()
+    assigned = assign_cells(items, cents, id_col, vec_col, n_probe=1, out_id=id_col).persist()
 
     # per-query truth-set size — the recall denominator (NOT k: a corpus
     # smaller than k makes hits/k understate a perfect retrieval)
@@ -293,40 +293,44 @@ def ivf_recall_audit(
     )
 
     rows = []
-    for n_probe in n_probes:
-        approx = ivf_topk(
+    try:
+        for n_probe in n_probes:
+            approx = ivf_topk(
             items, sampled, k=k, n_cells=n_cells, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
             centroids=cents, assigned_items=assigned,
-        ).select(query_id_col, id_col)
-        per_query = (
-            truth.join(approx, [query_id_col, id_col], "left_semi")
-            .groupBy(query_id_col)
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        # queries whose ENTIRE truth set was missed produce no row — the
-        # right join base is the truth-side query list
-        agg = (
-            truth_sizes
-            .join(per_query, query_id_col, "left")
-            .fillna({"hits": 0})
-            .agg(
-                F.avg(F.col("hits") / F.col("n_truth")).alias("mean_recall"),
-                F.min(F.col("hits") / F.col("n_truth")).alias("min_recall"),
+            ).select(query_id_col, id_col)
+            per_query = (
+                truth.join(approx, [query_id_col, id_col], "left_semi")
+                .groupBy(query_id_col)
+                .agg(F.count(F.lit(1)).alias("hits"))
             )
-            .collect()[0]
-        )
-        rows.append(
-            (
-                int(n_probe),
-                int(k),
-                int(n_queries),
-                float(agg["mean_recall"] or 0.0),
-                float(agg["min_recall"] or 0.0),
+            # queries whose ENTIRE truth set was missed produce no row — the
+            # right join base is the truth-side query list
+            agg = (
+                truth_sizes
+                .join(per_query, query_id_col, "left")
+                .fillna({"hits": 0})
+                .agg(
+                    F.avg(F.col("hits") / F.col("n_truth")).alias("mean_recall"),
+                    F.min(F.col("hits") / F.col("n_truth")).alias("min_recall"),
+                )
+                .collect()[0]
             )
-        )
-    truth.unpersist()
-    assigned.unpersist()
+            rows.append(
+                (
+                    int(n_probe),
+                    int(k),
+                    int(n_queries),
+                    float(agg["mean_recall"] or 0.0),
+                    float(agg["min_recall"] or 0.0),
+                )
+            )
+    finally:
+        # a failed probe iteration must not leak the cached frames for the
+        # session lifetime
+        truth.unpersist()
+        assigned.unpersist()
     return items.sparkSession.createDataFrame(
         rows,
         "n_probe int, k int, n_queries int, mean_recall double, min_recall double",

@@ -43,7 +43,23 @@ def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Da
     the many-files 100 TB case; the repartition fires exactly when the scan
     is narrow, where it is cheap (little data per partition) and necessary.
     All downstream caps/signatures are md5-ranked and therefore partition-
-    stable, so results are byte-identical either way."""
+    stable, so results are byte-identical either way.
+
+    Shuffle-bearing lineages (join/aggregate/window/distinct/sort upstream)
+    are returned untouched WITHOUT probing: their parallelism is already
+    governed by spark.sql.shuffle.partitions / AQE, and under AQE the
+    ``.rdd`` partition probe would eagerly EXECUTE the upstream shuffle
+    stages just to count partitions — doubled work.  The probe therefore
+    runs only on shuffle-free scan/map lineages, where ``.rdd`` is a
+    driver-side plan translation with no jobs.  (The operator-name scan of
+    the analyzed plan can false-positive on e.g. a column named "Join" —
+    that direction is safe: it only skips an optional rebalance.)"""
+    lp = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        op in lp
+        for op in ("Join", "Aggregate", "Window", "Deduplicate", "Sort", "Repartition")
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -54,8 +54,10 @@ def pack_sequences(
     length a straddling doc spills into exactly the next pack).
 
     Zero-token docs are passed through with their start offset and
-    straddles=false (they consume no budget).  Raises on negative token
-    counts and on budget < 1 — silent nonsense otherwise.
+    straddles=false (they consume no budget).  Raises on NULL or negative
+    token counts and on budget < 1 — silent nonsense otherwise.  Ids are
+    expected unique (the usual corpus contract); full-duplicate rows still
+    pack to a valid gapless stream under the explicit ROWS frame.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -73,16 +75,23 @@ def pack_sequences(
     ).withColumn(
         "n_tokens",
         F.when(
-            F.col("n_tokens") < 0,
+            F.col("n_tokens").isNull() | (F.col("n_tokens") < 0),
             F.raise_error(
                 F.concat(
-                    F.lit("pack_sequences: negative token count for id "),
+                    F.lit("pack_sequences: NULL or negative token count for id "),
                     F.col(id_col).cast("string"),
                 )
             ),
         ).otherwise(F.col("n_tokens")),
     )
-    w = Window.partitionBy("shard").orderBy("_rank", id_col)
+    # explicit ROWS frame: the RANGE default sums tied ordering keys
+    # together (duplicate ids would share one cum value and overlap their
+    # offsets) and diverges from the oracle's ROWS UNBOUNDED PRECEDING
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("n_tokens").over(w)
     start = (cum - F.col("n_tokens")).alias("start_offset")
     pack = F.floor((cum - F.col("n_tokens")) / budget).alias("pack_id")

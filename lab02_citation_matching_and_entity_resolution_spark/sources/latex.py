@@ -222,12 +222,14 @@ def read_latex_project_files(spark: SparkSession, root: str) -> DataFrame:
 
     marker = root.rstrip("/") + "/"
     # input_file_name() yields the Hadoop Path URI, which percent-encodes
-    # e.g. spaces — match the marker in BOTH raw and URI-encoded spelling
-    # (quote keeps '/'':' and, like java.net.URI, leaves '+' alone), and fail
-    # LOUDLY if neither matched: the pre-r5 string match silently left the
-    # full URI in place on mismatch, collapsing every file into a bogus
-    # project_id of 'file:'.
-    enc_marker = quote(marker, safe="/:")
+    # e.g. spaces — match the marker in BOTH raw and URI-encoded spelling,
+    # and fail LOUDLY if neither matched: the pre-r5 string match silently
+    # left the full URI in place on mismatch, collapsing every file into a
+    # bogus project_id of 'file:'.  The safe set mirrors what a java.net.URI
+    # path leaves unencoded (unreserved + sub-delims + ':@/'), so e.g.
+    # '/tmp/c++ projects' encodes to the same '.../c++%20projects' spelling
+    # on both sides.
+    enc_marker = quote(marker, safe="/:@!$&'()*+,;=")
     raw = (
         spark.read.option("wholetext", True)
         .option("recursiveFileLookup", True)

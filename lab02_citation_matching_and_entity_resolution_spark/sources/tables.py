@@ -207,6 +207,13 @@ class TableStore:
         rest old; the streaming caller's batch REPLAY re-merges the same
         rows, which converges because the merge is idempotent per key.
         """
+        # ONE bounded driver-side collect up front (one row per touched
+        # partition), validating NULL-freedom on EVERY path INCLUDING the
+        # bootstrap writes: a NULL-partition row written at bootstrap could
+        # never be upserted afterwards (every later merge of that key would
+        # refuse), so it must be refused before anything lands on disk
+        vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+        _check_partition_values(vals, partition_col)
         if self._use_iceberg():
             if not self.exists(name):
                 from pyspark.sql.functions import col
@@ -218,9 +225,6 @@ class TableStore:
                     .create()
                 )
                 return
-            # bounded driver-side collect: one row per touched partition
-            vals = [r[0] for r in df.select(partition_col).distinct().collect()]
-            _check_partition_values(vals, partition_col)
             view = f"_merge_src_{name}"
             df.createOrReplaceTempView(view)
             on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
@@ -239,8 +243,6 @@ class TableStore:
         if not self.exists(name):
             df.write.mode("overwrite").partitionBy(partition_col).parquet(self._path(name))
             return
-        vals = [r[0] for r in df.select(partition_col).distinct().collect()]
-        _check_partition_values(vals, partition_col)
         existing = self.read(name).where(col(partition_col).isin(vals))
         keep = existing.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
         result = keep.unionByName(df).localCheckpoint(eager=True)

@@ -605,3 +605,55 @@ def test_pack_sequences_no_single_partition_window(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_sequences_refuses_null_tokens(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tokens long"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="NULL or negative token count"):
+        pack_sequences(docs, budget=100).collect()
+
+
+def test_ivf_paths_accept_non_default_id_col(spark):
+    """ivf_topk / ivf_recall_audit with id_col != 'vec_id' (regression: the
+    item-side assign_cells used the default out_id, so any other id_col
+    raised UNRESOLVED_COLUMN)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "item_id long, embedding array<double>")
+    queries = emb.limit(4).select(F.col("item_id").alias("qid"), "embedding")
+    out = ann.ivf_topk(
+        emb, queries, k=3, n_cells=4, n_probe=4,
+        id_col="item_id", query_id_col="qid",
+    )
+    assert out.columns[:2] == ["qid", "item_id"]
+    assert out.count() == 12
+    audit = ann.ivf_recall_audit(
+        emb, queries, k=3, n_cells=4, n_probes=(4,), sample_queries=4,
+        id_col="item_id", query_id_col="qid",
+    ).collect()[0]
+    assert audit["mean_recall"] == 1.0  # probing all cells is exhaustive
+
+
+def test_fan_out_skips_shuffle_bearing_lineage(spark):
+    """fan_out_narrow_input must return shuffle-bearing frames untouched
+    (their parallelism is AQE/shuffle.partitions-governed, and probing .rdd
+    would execute the upstream stages under AQE)."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.dedup import (
+        fan_out_narrow_input,
+    )
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    agg = docs.groupBy("text").count()
+    assert fan_out_narrow_input(agg) is agg
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert fan_out_narrow_input(joined) is joined

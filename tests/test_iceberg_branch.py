@@ -101,6 +101,7 @@ def test_iceberg_merge_upsert_partitioned_bootstrap_and_merge(spark):
     fake.catalog.tableExists.return_value = False
     store = TableStore(fake, "/tmp/unused", catalog="er")
     df = MagicMock()
+    df.select.return_value.distinct.return_value.collect.return_value = [(7,)]
     store.merge_upsert_partitioned(
         df, "documents_live", key_cols=["conv_id"], partition_col="conv_bucket"
     )

@@ -83,3 +83,22 @@ def test_parquet_merge_upsert_partitioned_refuses_null_partition(spark, tmp_path
     assert {(r["conv_id"], r["v"]) for r in store.read("t").collect()} == {
         ("c1", "x"), ("c2", "y")
     }
+
+
+def test_parquet_merge_upsert_refuses_null_partition_at_bootstrap(spark, tmp_path):
+    """The NULL guard must fire BEFORE the bootstrap write too: a
+    NULL-partition row written at bootstrap could never be upserted
+    afterwards (every later merge of that key would refuse)."""
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.sources.tables import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    bad = spark.createDataFrame(
+        [("c1", None, "x")], "conv_id string, b int, v string"
+    )
+    with pytest.raises(ValueError, match="NULL value in partition column"):
+        store.merge_upsert_partitioned(bad, "t2", key_cols=["conv_id"], partition_col="b")
+    assert not store.exists("t2")

@@ -293,7 +293,7 @@ def test_latex_loader_root_with_uri_encoded_chars(spark, tmp_path):
         read_latex_project_files,
     )
 
-    root = tmp_path / "my projects"
+    root = tmp_path / "c++ my projects"  # space (encoded) AND '+' (raw)
     proj = root / "p one"
     proj.mkdir(parents=True)
     (proj / "main.tex").write_text("\\documentclass{a}BODY")
