@@ -1166,3 +1166,30 @@ def pack_sequences_q(spark, sf_dir):
         "doc_id", F.col("n_chars").alias("n_tokens")
     )
     return pack_sequences(docs, budget=2000, n_shards=8)
+
+
+q_mix_sample_sql = """
+WITH q(source, quota) AS (VALUES ('src1', 12), ('src6', 10), ('src18', 8)),
+r AS (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(concat(CAST(d.doc_id AS VARCHAR), '#mix11')), d.doc_id
+         ) AS rn
+  FROM documents d JOIN q USING (source)
+)
+SELECT doc_id, source FROM r WHERE rn <= quota
+"""
+
+
+@q("mix_sample", q_mix_sample_sql,
+   "Domain-mix quota sampling: md5-ranked deterministic top-k per stratum "
+   "with largest-remainder quotas ({src1: 0.4, src6: 0.35, src18: 0.25} of "
+   "30 -> 12/10/8); the oracle inlines the same quotas the Python "
+   "apportionment computes",
+   driver=False)
+def mix_sample_q(spark, sf_dir):
+    from .operators.mixing import mix_sample
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_sample(docs, {"src1": 0.4, "src6": 0.35, "src18": 0.25}, 30)

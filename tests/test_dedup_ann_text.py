@@ -657,3 +657,54 @@ def test_fan_out_skips_shuffle_bearing_lineage(spark):
     assert fan_out_narrow_input(agg) is agg
     joined = docs.join(docs.select("doc_id"), "doc_id")
     assert fan_out_narrow_input(joined) is joined
+
+
+def test_mix_sample_quota_semantics(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.mixing import (
+        largest_remainder_quotas,
+        mix_audit,
+        mix_sample,
+    )
+
+    # largest-remainder: quotas sum exactly, remainder to largest fractions
+    q = largest_remainder_quotas({"a": 0.5, "b": 0.3, "c": 0.2}, 7)
+    assert sum(q.values()) == 7 and q == {"a": 4, "b": 2, "c": 1}
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 70 else "c")) for i in range(100)]
+        + [(200, "dropme")],
+        "doc_id long, source string",
+    )
+    out = mix_sample(docs, {"a": 0.5, "b": 0.3, "c": 0.2}, 20)
+    by_src = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by_src == {"a": 10, "b": 6, "c": 4}
+    assert out.where("source = 'dropme'").count() == 0
+    # determinism: same call selects the same ids
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in mix_sample(docs, {"a": 0.5, "b": 0.3, "c": 0.2}, 20).collect())
+    assert ids1 == ids2
+    # shortfall: stratum c has 30 docs but quota 40 -> audit flags 10
+    big = mix_sample(docs, {"c": 1.0}, 40)
+    audit = {r["source"]: r for r in mix_audit(big, {"c": 1.0}, 40).collect()}
+    assert audit["c"]["delivered"] == 30 and audit["c"]["shortfall"] == 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_sample(docs, {"a": 0.5}, 10)
+
+
+def test_mix_sample_no_single_partition_window(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.mixing import (
+        mix_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 4)) for i in range(50)], "doc_id long, source string"
+    )
+    df = mix_sample(docs, {"s0": 0.25, "s1": 0.25, "s2": 0.25, "s3": 0.25}, 20)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
