@@ -14,6 +14,8 @@ Beyond the reference's content-hash dedup (ref: src/parse_util.py:1121-1130,
                        guarantee for hamming <= bands-1 — the primary pass)
   simhash_near_pairs   top-prefix single-probe pre-screen (cheap, lossy)
   embedding_near_dup   cosine near-duplicates over an embedding column
+  near_dup_groups      pairs (from any generator) -> transitive dup groups
+                       with deterministic min-id keepers (keep/drop list)
 
 Everything is native DataFrame ops (no Python in the hot path); the md5-based
 hashing keeps every operator reproducible across engines and cluster sizes.
@@ -504,4 +506,49 @@ def embedding_near_dup(
         pairs.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
+    )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Near-dup pairs -> transitive duplicate groups with a keeper per group.
+
+    The user-facing end of the dedup suite: feed it the pair frame from ANY
+    pair generator (minhash_band_pairs, simhash_band_pairs,
+    ngram_jaccard_pairs, embedding_near_dup — or their union) and get back
+    (id, group_id, is_keeper):
+
+      group_id   = min member id of the transitive closure (near-dup is not
+                   transitive, but dedup GROUPS must be — A~B and B~C means
+                   keeping both A and C still leaves B's near-dups in the
+                   corpus, so the standard practice closes over the pairs);
+      is_keeper  = id == group_id (min-id keeper, the same deterministic
+                   rule as exact_dedup).
+
+    ``docs`` (optional) adds singleton rows for ids with no near-dup pair
+    (group of themselves, keeper=true) so the output is a complete
+    keep/drop assignment for the corpus.  Closure runs on
+    connected_components_auto: propagation for the near-clique common case,
+    one automatic fallback to O(log n) star rounds for pathological chains
+    (recorded in ``stats``).
+    """
+    from .clustering import connected_components_auto
+
+    vertices = (
+        docs.select(F.col(id_col).alias("doc_id")) if docs is not None else None
+    )
+    labeled = connected_components_auto(
+        pairs.select("left_id", "right_id"),
+        vertices=vertices,
+        id_col="doc_id",
+        stats=stats,
+    )
+    return labeled.select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("group_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )

@@ -708,3 +708,26 @@ def test_mix_sample_no_single_partition_window(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_near_dup_groups_transitive_closure_and_keepers(spark):
+    """near_dup_groups: pairs from any generator -> transitive groups with
+    min-id keepers; docs= adds singletons for a complete keep/drop list."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "left_id long, right_id long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    stats = {}
+    out = {r["doc_id"]: r for r in dedup.near_dup_groups(
+        pairs, docs=docs, stats=stats
+    ).collect()}
+    assert {i: out[i]["group_id"] for i in sorted(out)} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99
+    }
+    assert {i for i in out if out[i]["is_keeper"]} == {1, 10, 99}
+    assert stats["algorithm"] in ("propagation", "star")
+    # without docs: only ids appearing in pairs
+    bare = dedup.near_dup_groups(pairs)
+    assert bare.count() == 5
