@@ -531,16 +531,23 @@ def near_dup_groups(
 
     ``docs`` (optional) adds singleton rows for ids with no near-dup pair
     (group of themselves, keeper=true) so the output is a complete
-    keep/drop assignment for the corpus.  Closure runs on
-    connected_components_auto: propagation for the near-clique common case,
-    one automatic fallback to O(log n) star rounds for pathological chains
-    (recorded in ``stats``).
+    keep/drop assignment for the corpus.  Ids appearing in ``pairs`` but
+    absent from ``docs`` stay in the vertex set — a pair id can never be
+    dropped, because a missing intermediate vertex would both truncate its
+    component's closure and make the propagation and star algorithms
+    disagree (propagation cannot route min labels through an absent
+    vertex).  Closure runs on connected_components_auto: propagation for
+    the near-clique common case, one automatic fallback to O(log n) star
+    rounds for pathological chains (recorded in ``stats``).
     """
     from .clustering import connected_components_auto
 
-    vertices = (
-        docs.select(F.col(id_col).alias("doc_id")) if docs is not None else None
-    )
+    vertices = None
+    if docs is not None:
+        pair_ids = pairs.select(F.col("left_id").alias("doc_id")).unionByName(
+            pairs.select(F.col("right_id").alias("doc_id"))
+        )
+        vertices = docs.select(F.col(id_col).alias("doc_id")).unionByName(pair_ids)
     labeled = connected_components_auto(
         pairs.select("left_id", "right_id"),
         vertices=vertices,

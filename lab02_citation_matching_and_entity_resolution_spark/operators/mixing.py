@@ -38,11 +38,18 @@ def largest_remainder_quotas(targets: dict[str, float], n_out: int) -> dict[str,
         raise ValueError(f"target fractions must sum to 1, got {total}")
     if any(f < 0 for f in targets.values()):
         raise ValueError("target fractions must be non-negative")
-    floors = {s: int(n_out * f) for s, f in targets.items()}
+    # normalize by the actual sum: fractions that pass the 1e-6 gate but are
+    # not exactly 1 would otherwise make rem negative or larger than the
+    # stratum count at large n_out (silent over-/under-delivery of up to
+    # n_out*1e-6 docs); clamp is belt-and-braces for float pathologies
+    norm = {s: f / total for s, f in targets.items()}
+    floors = {s: int(n_out * f) for s, f in norm.items()}
     rem = n_out - sum(floors.values())
-    order = sorted(targets, key=lambda s: (-(n_out * targets[s] - floors[s]), s))
+    rem = max(0, min(rem, len(norm)))
+    order = sorted(norm, key=lambda s: (-(n_out * norm[s] - floors[s]), s))
     for s in order[:rem]:
         floors[s] += 1
+    assert sum(floors.values()) == n_out, (floors, n_out)
     return floors
 
 
@@ -62,20 +69,26 @@ def mix_sample(
     Returns the input columns unchanged.
     """
     quotas = largest_remainder_quotas(targets, n_out)
+    tmp_rank, tmp_rn, tmp_quota = "__mix_rank", "__mix_rn", "__mix_quota"
+    clash = {tmp_rank, tmp_rn, tmp_quota} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"mix_sample: input carries reserved temporary column(s) {sorted(clash)}"
+        )
     spark = docs.sparkSession
     qdf = F.broadcast(
         spark.createDataFrame(
-            sorted(quotas.items()), f"{strata_col} string, _quota long"
+            sorted(quotas.items()), f"{strata_col} string, {tmp_quota} long"
         )
     )
     rank = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#mix{seed}")))
-    w = Window.partitionBy(strata_col).orderBy("_rank", id_col)
+    w = Window.partitionBy(strata_col).orderBy(tmp_rank, id_col)
     return (
         docs.join(qdf, strata_col)
-        .withColumn("_rank", rank)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= F.col("_quota"))
-        .drop("_rank", "_rn", "_quota")
+        .withColumn(tmp_rank, rank)
+        .withColumn(tmp_rn, F.row_number().over(w))
+        .where(F.col(tmp_rn) <= F.col(tmp_quota))
+        .drop(tmp_rank, tmp_rn, tmp_quota)
     )
 
 

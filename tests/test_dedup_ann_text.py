@@ -772,3 +772,30 @@ def test_pack_sequences_matches_independent_python_impl(spark):
             expected.append((i, n, sh, off, off // budget, straddle))
             off += n
     assert got == sorted(expected)
+
+
+def test_mix_quotas_normalize_inexact_fraction_sums():
+    """Fractions passing the 1e-6 gate but not summing to exactly 1 must
+    still produce quotas summing to exactly n_out (regression: rem could go
+    negative / overflow the stratum count at large n_out)."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.mixing import (
+        largest_remainder_quotas,
+    )
+
+    over = {s: 0.3333335 for s in ("a", "b", "c")}   # sums to 1.0000005
+    q = largest_remainder_quotas(over, 30_000_000)
+    assert sum(q.values()) == 30_000_000
+    under = {s: 0.3333332 for s in ("a", "b", "c")}  # sums to 0.9999996
+    q2 = largest_remainder_quotas(under, 30_000_000)
+    assert sum(q2.values()) == 30_000_000
+
+
+def test_near_dup_groups_keeps_pair_ids_missing_from_docs(spark):
+    """A pair id absent from docs (e.g. docs is a post-filter subset) must
+    stay in the closure: dropping it would truncate the component AND make
+    propagation and star disagree (regression)."""
+    pairs = spark.createDataFrame([(1, 5), (5, 3)], "left_id long, right_id long")
+    docs = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    out = {r["doc_id"]: r for r in dedup.near_dup_groups(pairs, docs=docs).collect()}
+    assert {i: out[i]["group_id"] for i in sorted(out)} == {1: 1, 3: 1, 5: 1}
+    assert {i for i in out if out[i]["is_keeper"]} == {1}
