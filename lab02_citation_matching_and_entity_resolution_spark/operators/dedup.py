@@ -9,6 +9,9 @@ Beyond the reference's content-hash dedup (ref: src/parse_util.py:1121-1130,
                        MinHash + banded LSH (shingle -> minhash -> band ->
                        bucket self-join), pure SQL — engine-portable because
                        the hash is md5-derived (same bits in Spark & DuckDB)
+  minhash_band_index / incremental_band_pairs
+                       persistent LSH index + new-batch-vs-corpus matching
+                       (incremental dedup: the corpus is never re-shingled)
   simhash64            64-bit SimHash over tokens
   simhash_band_pairs   banded hamming near-pairs (pigeonhole recall
                        guarantee for hamming <= bands-1 — the primary pass)
@@ -216,6 +219,90 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_index(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_idx, band_key) — the LSH index frame for banded matching.
+
+    One posexplode keys all bands in a single pass.  For incremental dedup
+    at corpus scale, persist this frame as the standing index (partition or
+    bucket by band_idx/band_key so per-batch joins co-locate); each new
+    batch then band-keys ONLY its own docs and joins the index — the corpus
+    is never re-shingled per batch.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    rows = n_hashes // bands
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+
+def incremental_band_pairs(
+    new_sigs: DataFrame,
+    corpus_index: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    band_cap: int | None = 1000,
+    cap_seed: int = 23120334,
+    return_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """New-batch docs vs an existing corpus LSH index: (left_id=new,
+    right_id=corpus) for every cross pair sharing any full minhash band.
+
+    The incremental-dedup shape a streaming/batch ingest needs: the corpus
+    side arrives as a PERSISTED minhash_band_index table (never re-shingled
+    per batch); only the new batch is signature-banded here.  Batch-internal
+    duplicates are deliberately NOT included — run minhash_band_pairs on
+    new_sigs for those (composability keeps both halves oracle-able).
+
+    ``band_cap`` bounds BOTH sides' buckets (a hot boilerplate bucket in
+    the standing index would otherwise fan every matching new doc into
+    thousands of pairs), md5-ranked as everywhere; rows where the same id
+    appears on both sides (re-ingest) are excluded.
+    """
+    new_keyed = minhash_band_index(new_sigs, n_hashes=n_hashes, bands=bands, id_col=id_col)
+    corpus_keyed = corpus_index
+    metrics = None
+    if band_cap is not None:
+        new_keyed, m_new = _cap_block(
+            new_keyed, ["band_idx", "band_key"], id_col, band_cap, cap_seed
+        )
+        corpus_keyed, m_corp = _cap_block(
+            corpus_keyed, ["band_idx", "band_key"], id_col, band_cap, cap_seed
+        )
+        metrics = m_new.unionByName(m_corp)
+        if not return_metrics:
+            _warn_cap_unaudited("incremental_band_pairs", band_cap, "band_cap")
+    l = new_keyed.select(F.col(id_col).alias("left_id"), "band_idx", "band_key")
+    r = corpus_keyed.select(F.col(id_col).alias("right_id"), "band_idx", "band_key")
+    out = (
+        l.join(r, ["band_idx", "band_key"])
+        .where(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    if return_metrics:
+        if metrics is None:
+            metrics = new_sigs.sparkSession.createDataFrame([], CAP_METRICS_SCHEMA)
+        return out, metrics
+    return out
+
+
 def minhash_band_pairs(
     signatures: DataFrame,
     n_hashes: int = 16,
@@ -238,20 +325,7 @@ def minhash_band_pairs(
     emitted when the audit is discarded), or band_cap=None for exhaustive
     behavior.
     """
-    rows = n_hashes // bands
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    keyed = signatures.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    keyed = minhash_band_index(signatures, n_hashes=n_hashes, bands=bands, id_col=id_col)
     metrics = None
     if band_cap is not None:
         keyed, metrics = _cap_block(

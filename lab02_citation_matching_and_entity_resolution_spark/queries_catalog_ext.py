@@ -1193,3 +1193,52 @@ def mix_sample_q(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source")
     return mix_sample(docs, {"src1": 0.4, "src6": 0.35, "src18": 0.25}, 30)
+
+
+q_incremental_band_pairs_sql = _duck_minhash_cte(8, 4) + """
+, banded_all AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(concat_ws('|', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR))) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(concat_ws('|', CAST(h4 AS VARCHAR), CAST(h5 AS VARCHAR))) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, md5(concat_ws('|', CAST(h6 AS VARCHAR), CAST(h7 AS VARCHAR))) FROM sigs
+),
+new_keyed AS (
+  SELECT doc_id, band_idx, band_key FROM banded_all WHERE doc_id % 5 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY band_idx, band_key
+    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#23120334')), doc_id
+  ) <= 1000
+),
+corp_keyed AS (
+  SELECT doc_id, band_idx, band_key FROM banded_all WHERE doc_id % 5 <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY band_idx, band_key
+    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#23120334')), doc_id
+  ) <= 1000
+)
+SELECT DISTINCT n.doc_id AS left_id, c.doc_id AS right_id
+FROM new_keyed n JOIN corp_keyed c
+  ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+WHERE n.doc_id <> c.doc_id
+"""
+
+
+@q("dedup_incremental_band_pairs", q_incremental_band_pairs_sql,
+   "Incremental dedup: the doc_id%5==0 slice plays the NEW batch, banded and "
+   "joined against the persisted minhash_band_index of the remaining corpus "
+   "(never re-shingled); both sides band-capped with the shared md5 rank",
+   driver=False)
+def dedup_incremental_band_pairs(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    corpus_sigs = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 5 != 0), n_hashes=8, shingle_n=4
+    )
+    index = dedup.minhash_band_index(corpus_sigs, n_hashes=8, bands=4)
+    new_sigs = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 5 == 0), n_hashes=8, shingle_n=4
+    )
+    return dedup.incremental_band_pairs(new_sigs, index, n_hashes=8, bands=4)

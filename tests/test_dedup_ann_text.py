@@ -799,3 +799,54 @@ def test_near_dup_groups_keeps_pair_ids_missing_from_docs(spark):
     out = {r["doc_id"]: r for r in dedup.near_dup_groups(pairs, docs=docs).collect()}
     assert {i: out[i]["group_id"] for i in sorted(out)} == {1: 1, 3: 1, 5: 1}
     assert {i for i in out if out[i]["is_keeper"]} == {1}
+
+
+def test_incremental_band_pairs_new_vs_corpus(spark):
+    """Incremental dedup: a new batch joins the persisted corpus band index;
+    cross pairs only (batch-internal dups via minhash_band_pairs), re-ingested
+    ids excluded, and the result matches the full self-join restricted to
+    cross pairs."""
+    corpus = _docs(spark)  # ids 1-5
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # dup of 1/2
+            (102, "totally novel content about window frames", "en", "s1"),
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),    # re-ingest
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    corpus_sigs = dedup.minhash_signatures(corpus, n_hashes=16, shingle_n=4)
+    index = dedup.minhash_band_index(corpus_sigs, n_hashes=16, bands=8)
+    new_sigs = dedup.minhash_signatures(new, n_hashes=16, shingle_n=4)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.incremental_band_pairs(
+            new_sigs, index, n_hashes=16, bands=8
+        ).collect()
+    }
+    assert (101, 1) in got and (101, 2) in got
+    assert not any(lid == 102 for lid, _ in got)
+    assert (1, 1) not in got  # identical-id self pair excluded...
+    assert (1, 2) in got      # ...but a re-ingested doc still matches OTHER corpus dups
+    # parity with the full self-join restricted to new-x-corpus pairs
+    # (disjoint batch only: an id on both sides has no self-join analogue)
+    new2 = new.where("doc_id > 100")
+    got2 = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.incremental_band_pairs(
+            dedup.minhash_signatures(new2, n_hashes=16, shingle_n=4),
+            index, n_hashes=16, bands=8,
+        ).collect()
+    }
+    both = corpus.unionByName(new2)
+    full = dedup.minhash_band_pairs(
+        dedup.minhash_signatures(both, n_hashes=16, shingle_n=4),
+        n_hashes=16, bands=8,
+    )
+    new_ids = {101, 102}
+    cross = {
+        (l, r) if l in new_ids else (r, l)
+        for l, r in ((x["left_id"], x["right_id"]) for x in full.collect())
+        if (l in new_ids) != (r in new_ids)
+    }
+    assert got2 == cross
