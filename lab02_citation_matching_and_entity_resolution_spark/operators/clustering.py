@@ -29,6 +29,25 @@ before iterating; each round localCheckpoints to cut lineage growth; giant
 components (skewed labels) only ever shuffle their *edges*, never
 materialize the component, so skew is bounded by edge count per label —
 with AQE skew-join as backstop.
+
+Salted skew handling (north rule: "iterative hash-join connected
+components with salted skew handling"): the per-round hash join keys the
+edge list on its destination vertex, so a hub vertex of degree d lands all
+d edge rows on ONE reducer regardless of AQE's post-shuffle coalescing
+(AQE skew-split only helps sort-merge joins, and only after the skewed
+partition is already built).  ``connected_components`` therefore detects
+hot destination vertices ONCE up front (degree >= ``hot_degree_threshold``
+on the fixed, deduplicated edge set) and routes their edges through an
+explicit salted join: the label row of each hot vertex is replicated into
+``salt_buckets`` copies (cost: n_hot x salt_buckets rows — negligible,
+hot keys are few by construction) while each hot edge picks a
+DETERMINISTIC salt = pmod(xxhash64(src), salt_buckets), so a degree-d hub
+spreads across salt_buckets reducers instead of one.  Cold edges take the
+plain hash join.  Output is bit-identical with or without salting (the
+join is an exact equi-join on (dst, salt)); determinism is preserved
+because the salt is a hash of the edge's own source vertex, not a random
+draw.  groupBy-min label aggregation needs no salting: Spark's partial
+(map-side) aggregation combines hub labels before the shuffle.
 """
 
 from __future__ import annotations
@@ -41,18 +60,36 @@ class ConvergenceError(RuntimeError):
     pass
 
 
+class SkewError(RuntimeError):
+    """Hot-key census exceeded its bound — the degree distribution is
+    pathological beyond what salting is sized for; fail loudly rather than
+    silently replicate an unbounded label set."""
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 25,
     id_col: str = "conv_id",
     stats: dict | None = None,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int = 1_000_000,
+    max_hot_keys: int = 100_000,
 ) -> DataFrame:
     """Edges (left_id, right_id) -> (conv_id, cluster_id) with cluster_id =
     min member id of the component.  ``vertices`` adds singletons.
 
-    ``stats`` (optional dict) receives {"rounds": n} — observability for the
-    rehearsal/metrics sinks without changing the return contract."""
+    ``stats`` (optional dict) receives {"rounds": n, "hot_keys": n,
+    "salt_buckets": n} — observability for the rehearsal/metrics sinks
+    without changing the return contract.
+
+    Skew: destination vertices with degree >= ``hot_degree_threshold`` are
+    detected once on the fixed edge set and their per-round label lookup is
+    salted across ``salt_buckets`` reducers (module docstring); the census
+    is bounded by ``max_hot_keys`` (exceeding it raises :class:`SkewError`).
+    Output is identical with salting active or not.  At test scale the
+    default threshold makes salting a structural no-op; lower it to
+    exercise the salted path."""
     sym = (
         edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
         .unionByName(
@@ -69,12 +106,67 @@ def connected_components(
         verts = sym.select("src").distinct()
     labels = verts.withColumn("label", F.col("src")).localCheckpoint()
 
+    # --- one-time hot-destination census on the (fixed) edge set ---------
+    hot = (
+        sym.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= F.lit(hot_degree_threshold))
+        .select("dst")
+    )
+    n_hot = hot.count()
+    if n_hot > max_hot_keys:
+        raise SkewError(
+            f"{n_hot} vertices exceed degree {hot_degree_threshold} "
+            f"(bound: {max_hot_keys}); raise hot_degree_threshold or "
+            f"max_hot_keys explicitly"
+        )
+    if stats is not None:
+        stats["hot_keys"] = n_hot
+        stats["salt_buckets"] = salt_buckets if n_hot else 0
+    if n_hot:
+        hot_b = F.broadcast(hot.withColumn("__hot", F.lit(True)).localCheckpoint())
+        flagged = sym.join(hot_b, "dst", "left")
+        sym_cold = flagged.where(F.col("__hot").isNull()).select("src", "dst").localCheckpoint()
+        sym_hot = (
+            flagged.where(F.col("__hot").isNotNull())
+            .select(
+                "src",
+                "dst",
+                # deterministic salt from the edge's OWN source vertex: the
+                # same edge always lands in the same bucket, runs reproduce
+                F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).cast("int").alias("salt"),
+            )
+            .localCheckpoint()
+        )
+        hot_keys_df = hot.localCheckpoint()
+    else:
+        sym_cold, sym_hot, hot_keys_df = sym, None, None
+
     for rounds in range(1, max_iter + 1):
         # candidate labels flowing along edges
+        labels_r = labels.withColumnRenamed("src", "dst_v")
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("src", "dst_v"), sym.dst == F.col("dst_v"))
+            sym_cold.join(labels_r, sym_cold.dst == labels_r.dst_v)
             .select(F.col("src"), F.col("label").alias("nlabel"))
         )
+        if sym_hot is not None:
+            # labels of the (few) hot vertices, replicated once per salt;
+            # each hot edge joins exactly one replica — the hub's edges
+            # spread over salt_buckets reducers instead of one
+            hot_labels = labels_r.join(
+                F.broadcast(hot_keys_df.withColumnRenamed("dst", "dst_v")), "dst_v"
+            )
+            replicated = hot_labels.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+            ).withColumn("salt", F.col("salt").cast("int"))
+            hot_neighbor_labels = (
+                sym_hot.join(
+                    replicated,
+                    (sym_hot.dst == replicated.dst_v) & (sym_hot.salt == replicated.salt),
+                )
+                .select(F.col("src"), F.col("label").alias("nlabel"))
+            )
+            neighbor_labels = neighbor_labels.unionByName(hot_neighbor_labels)
         new_labels = (
             labels.select("src", F.col("label").alias("nlabel"))
             .unionByName(neighbor_labels)
@@ -204,6 +296,8 @@ def connected_components_auto(
     id_col: str = "conv_id",
     star_max_iter: int = 50,
     stats: dict | None = None,
+    salt_buckets: int = 16,
+    hot_degree_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Propagation first, star on non-convergence — the right default when
     component shapes are unknown.
@@ -222,7 +316,8 @@ def connected_components_auto(
     stats_local: dict = {}
     try:
         out = connected_components(
-            edges, vertices=vertices, max_iter=max_iter, id_col=id_col, stats=stats_local
+            edges, vertices=vertices, max_iter=max_iter, id_col=id_col, stats=stats_local,
+            salt_buckets=salt_buckets, hot_degree_threshold=hot_degree_threshold,
         )
         if stats is not None:
             stats.update(

@@ -240,3 +240,73 @@ def test_auto_cc_uses_propagation_on_normal_graph(spark):
     assert stats["fallback"] is False
     assert stats["algorithm"] == "propagation"
     assert stats["rounds"] >= 1
+
+
+# --- salted skew handling (north rule: "salted skew handling" in CC) -----
+
+def _hub_edges(spark, n_leaves=500):
+    """One degree-n hub component + a 4-cycle + an isolated pair."""
+    rows = [("hub", f"leaf{i:04d}") for i in range(n_leaves)]
+    rows += [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    rows += [("x1", "x2")]
+    return spark.createDataFrame(rows, "left_id string, right_id string")
+
+
+def test_salted_cc_identical_output_to_unsalted(spark):
+    edges = _hub_edges(spark)
+    plain = connected_components(edges, id_col="cid")  # threshold 1M: no hot keys
+    stats = {}
+    salted = connected_components(
+        edges, id_col="cid", stats=stats,
+        hot_degree_threshold=100, salt_buckets=4,
+    )
+    # the hub (degree 500 after symmetrization) must trip the census
+    assert stats["hot_keys"] >= 1
+    assert stats["salt_buckets"] == 4
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # and the clustering itself is right: hub+leaves one cluster, cycle one,
+    # pair one
+    clusters = {}
+    for cid, cl in salted.collect():
+        clusters.setdefault(cl, set()).add(cid)
+    sizes = sorted(len(v) for v in clusters.values())
+    assert sizes == [2, 4, 501]
+
+
+def test_salted_cc_inactive_below_threshold(spark):
+    edges = _hub_edges(spark, n_leaves=20)
+    stats = {}
+    out = connected_components(
+        edges, id_col="cid", stats=stats, hot_degree_threshold=1000
+    )
+    assert stats["hot_keys"] == 0
+    assert stats["salt_buckets"] == 0
+    assert out.count() == 27  # 21 + 4 + 2
+
+
+def test_salted_cc_hot_census_bound_fails_loudly(spark):
+    import pytest as _pytest
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        SkewError,
+    )
+    edges = _hub_edges(spark)
+    with _pytest.raises(SkewError):
+        # symmetrized degree >= 2 makes EVERY vertex hot; bound of 3 trips
+        connected_components(
+            edges, id_col="cid", hot_degree_threshold=1, max_hot_keys=3
+        )
+
+
+def test_salted_cc_with_singleton_vertices(spark):
+    edges = _hub_edges(spark, n_leaves=50)
+    verts = spark.createDataFrame(
+        [("hub",), ("solo1",), ("solo2",)] + [(f"leaf{i:04d}",) for i in range(50)],
+        "cid string",
+    )
+    out = connected_components(
+        edges, vertices=verts, id_col="cid",
+        hot_degree_threshold=10, salt_buckets=3,
+    )
+    got = dict(out.collect())
+    assert got["solo1"] == "solo1" and got["solo2"] == "solo2"
+    assert got["leaf0007"] == got["hub"]
