@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> None:
                          "default), propagation (1 join/round, O(diameter)) "
                          "or star (large/small-star, O(log n) — for "
                          "long-chain components)")
+    ap.add_argument("--cc-salt-buckets", type=int, default=16,
+                    help="salted skew handling: reducers per hot vertex in "
+                         "the CC label join (ignored by --cc-algorithm star)")
+    ap.add_argument("--cc-hot-degree-threshold", type=int, default=1_000_000,
+                    help="symmetrized degree at which a vertex counts as hot "
+                         "for CC salting")
     ap.add_argument("--stream-input", default=None,
                     help="JSONL turn-record directory: drain it through the "
                          "streaming ingest front into documents_live, then "
@@ -95,7 +101,9 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.time()
     cfg = PipelineConfig(threshold=args.threshold, use_greedy_one_to_one=args.greedy,
-                         cc_algorithm=args.cc_algorithm)
+                         cc_algorithm=args.cc_algorithm,
+                         cc_salt_buckets=args.cc_salt_buckets,
+                         cc_hot_degree_threshold=args.cc_hot_degree_threshold)
     result = run_pipeline(transcripts, cfg)
 
     # partition everything by the lineage partition key for resumable writes

@@ -106,14 +106,20 @@ def connected_components(
         verts = sym.select("src").distinct()
     labels = verts.withColumn("label", F.col("src")).localCheckpoint()
 
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     # --- one-time hot-destination census on the (fixed) edge set ---------
-    hot = (
+    # checkpoint the census BEFORE counting: count(), the broadcast flag
+    # join, and the per-round replica build must all reuse one materialized
+    # result, not re-run the full-edge-set aggregation
+    hot_keys_df = (
         sym.groupBy("dst")
         .agg(F.count(F.lit(1)).alias("deg"))
         .where(F.col("deg") >= F.lit(hot_degree_threshold))
         .select("dst")
+        .localCheckpoint()
     )
-    n_hot = hot.count()
+    n_hot = hot_keys_df.count()
     if n_hot > max_hot_keys:
         raise SkewError(
             f"{n_hot} vertices exceed degree {hot_degree_threshold} "
@@ -124,23 +130,20 @@ def connected_components(
         stats["hot_keys"] = n_hot
         stats["salt_buckets"] = salt_buckets if n_hot else 0
     if n_hot:
-        hot_b = F.broadcast(hot.withColumn("__hot", F.lit(True)).localCheckpoint())
-        flagged = sym.join(hot_b, "dst", "left")
-        sym_cold = flagged.where(F.col("__hot").isNull()).select("src", "dst").localCheckpoint()
-        sym_hot = (
-            flagged.where(F.col("__hot").isNotNull())
-            .select(
-                "src",
-                "dst",
-                # deterministic salt from the edge's OWN source vertex: the
-                # same edge always lands in the same bucket, runs reproduce
-                F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).cast("int").alias("salt"),
-            )
-            .localCheckpoint()
+        hot_b = F.broadcast(hot_keys_df.withColumn("__hot", F.lit(True)))
+        # one flag-join job; the per-round cold/hot splits are cheap
+        # re-filters of this checkpointed frame
+        flagged = sym.join(hot_b, "dst", "left").localCheckpoint()
+        sym_cold = flagged.where(F.col("__hot").isNull()).select("src", "dst")
+        sym_hot = flagged.where(F.col("__hot").isNotNull()).select(
+            "src",
+            "dst",
+            # deterministic salt from the edge's OWN source vertex: the
+            # same edge always lands in the same bucket, runs reproduce
+            F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).cast("int").alias("salt"),
         )
-        hot_keys_df = hot.localCheckpoint()
     else:
-        sym_cold, sym_hot, hot_keys_df = sym, None, None
+        sym_cold, sym_hot = sym, None
 
     for rounds in range(1, max_iter + 1):
         # candidate labels flowing along edges
@@ -298,6 +301,7 @@ def connected_components_auto(
     stats: dict | None = None,
     salt_buckets: int = 16,
     hot_degree_threshold: int = 1_000_000,
+    max_hot_keys: int = 100_000,
 ) -> DataFrame:
     """Propagation first, star on non-convergence — the right default when
     component shapes are unknown.
@@ -318,11 +322,13 @@ def connected_components_auto(
         out = connected_components(
             edges, vertices=vertices, max_iter=max_iter, id_col=id_col, stats=stats_local,
             salt_buckets=salt_buckets, hot_degree_threshold=hot_degree_threshold,
+            max_hot_keys=max_hot_keys,
         )
         if stats is not None:
-            stats.update(
-                algorithm="propagation", rounds=stats_local.get("rounds"), fallback=False
-            )
+            # carry the skew-observability keys (hot_keys, salt_buckets)
+            # through to the caller's metrics sink alongside the algorithm tag
+            stats.update(stats_local)
+            stats.update(algorithm="propagation", fallback=False)
         return out
     except ConvergenceError:
         star_stats: dict = {}
@@ -336,5 +342,9 @@ def connected_components_auto(
                 rounds=star_stats.get("rounds"),
                 fallback=True,
                 propagation_rounds_spent=stats_local.get("rounds"),
+                # the hot census ran on the same edge set before propagation
+                # gave up — still the right observability signal to surface
+                hot_keys=stats_local.get("hot_keys"),
+                salt_buckets=stats_local.get("salt_buckets"),
             )
         return out

@@ -51,6 +51,13 @@ class PipelineConfig:
     # clusters; fails loudly on long chains) or "star" (large-star/small-star,
     # O(log n) rounds regardless of diameter)
     cc_algorithm: str = "auto"
+    # salted skew handling for the propagation label join (clustering.py
+    # module docstring): destinations with symmetrized degree >= the
+    # threshold get their per-round label lookup salted across this many
+    # reducers.  Ignored by the pure "star" algorithm (groupBy-based, map-
+    # side combine covers its skew).
+    cc_salt_buckets: int = 16
+    cc_hot_degree_threshold: int = 1_000_000
     # TF-IDF fit scope: None = global corpus fit; a doc-column tuple fits the
     # IDF within each group of those columns (the reference's default
     # TFIDF_SCOPE="paper", ref match_utils.py:411-424 — e.g. ("lang",) or a
@@ -100,9 +107,15 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
         "propagation": connected_components,
         "star": connected_components_star,
     }[cfg.cc_algorithm]
+    cc_kwargs = {}
+    if cfg.cc_algorithm != "star":  # star's groupBy skew story needs no salt
+        cc_kwargs = dict(
+            salt_buckets=cfg.cc_salt_buckets,
+            hot_degree_threshold=cfg.cc_hot_degree_threshold,
+        )
     clusters = cc(
         matches, vertices=docs.select("conv_id"), max_iter=cfg.max_cc_iter,
-        stats=cc_stats,
+        stats=cc_stats, **cc_kwargs,
     )
     if cfg.cc_algorithm != "auto":
         cc_stats.setdefault("algorithm", cfg.cc_algorithm)

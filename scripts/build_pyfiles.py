@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import tempfile
 import zipfile
 
 PKG = "lab02_citation_matching_and_entity_resolution_spark"
@@ -31,16 +32,28 @@ def build_zip(repo_root: str, out_path: str) -> list[str]:
             if fn.endswith(".py"):
                 full = os.path.join(dirpath, fn)
                 members.append(os.path.relpath(full, repo_root))
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    tmp = out_path + ".tmp"
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for rel in members:
-            with open(os.path.join(repo_root, rel), "rb") as fh:
-                data = fh.read()
-            info = zipfile.ZipInfo(rel.replace(os.sep, "/"), date_time=_EPOCH)
-            info.external_attr = 0o644 << 16
-            zf.writestr(info, data, zipfile.ZIP_DEFLATED)
-    os.replace(tmp, out_path)  # atomic: a concurrent submit never sees a torn zip
+    out_dir = os.path.dirname(out_path) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    # private (mkstemp) staging in the destination dir + atomic rename:
+    # concurrent builds never interleave writes, and a concurrent submit
+    # never sees a torn zip
+    fd, tmp = tempfile.mkstemp(prefix=".er_engine_", suffix=".zip.tmp", dir=out_dir)
+    try:
+        with os.fdopen(fd, "wb") as raw, zipfile.ZipFile(raw, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel in members:
+                with open(os.path.join(repo_root, rel), "rb") as fh:
+                    data = fh.read()
+                info = zipfile.ZipInfo(rel.replace(os.sep, "/"), date_time=_EPOCH)
+                info.external_attr = 0o644 << 16
+                zf.writestr(info, data, zipfile.ZIP_DEFLATED)
+        os.chmod(tmp, 0o644)  # mkstemp creates 0600; the artifact is world-readable
+        os.replace(tmp, out_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return members
 
 
@@ -49,9 +62,11 @@ def main() -> None:
     ap.add_argument("--out", default="dist/er_engine.zip")
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    members = build_zip(repo_root, os.path.join(repo_root, args.out)
-                        if not os.path.isabs(args.out) else args.out)
-    print(f"{args.out}: {len(members)} files")
+    # relative --out is anchored at the repo root (where submit.sh expects
+    # it), and the resolved path is what gets printed
+    out_path = args.out if os.path.isabs(args.out) else os.path.join(repo_root, args.out)
+    members = build_zip(repo_root, out_path)
+    print(f"{out_path}: {len(members)} files")
 
 
 if __name__ == "__main__":

@@ -11,7 +11,9 @@ set -euo pipefail
 repo_root="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 master="${SPARK_MASTER:-local[8]}"
 
-python "${repo_root}/scripts/build_pyfiles.py" --out dist/er_engine.zip
+# match the interpreter spark-submit itself will use (hosts without a bare
+# `python` — stock Debian/Ubuntu — still have python3)
+"${PYSPARK_PYTHON:-python3}" "${repo_root}/scripts/build_pyfiles.py" --out dist/er_engine.zip
 
 exec spark-submit \
   --master "${master}" \

@@ -11,15 +11,22 @@ local[4] (874 pairs -> 481 matches -> 120 clusters, exit 0).
 """
 
 import hashlib
+import importlib.util
 import os
 import subprocess
 import sys
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from build_pyfiles import PKG, build_zip  # noqa: E402
+# load scripts/build_pyfiles.py by file path — no session-wide sys.path
+# mutation (scripts/ must not shadow repo-root modules for later tests)
+_spec = importlib.util.spec_from_file_location(
+    "er_build_pyfiles", os.path.join(REPO, "scripts", "build_pyfiles.py")
+)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+PKG, build_zip = _mod.PKG, _mod.build_zip
 
 
 def _sha(path):

@@ -310,3 +310,27 @@ def test_salted_cc_with_singleton_vertices(spark):
     got = dict(out.collect())
     assert got["solo1"] == "solo1" and got["solo2"] == "solo2"
     assert got["leaf0007"] == got["hub"]
+
+
+def test_salt_buckets_validation(spark):
+    import pytest as _pytest
+    edges = _hub_edges(spark, n_leaves=5)
+    with _pytest.raises(ValueError, match="salt_buckets"):
+        connected_components(edges, id_col="cid", salt_buckets=0)
+
+
+def test_auto_cc_surfaces_skew_stats(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators.clustering import (
+        connected_components_auto,
+    )
+    edges = _hub_edges(spark, n_leaves=60)
+    stats = {}
+    out = connected_components_auto(
+        edges, id_col="cid", stats=stats,
+        hot_degree_threshold=20, salt_buckets=4,
+    )
+    assert out.count() == 67
+    # the default pipeline path must surface the skew keys, not drop them
+    assert stats["algorithm"] == "propagation"
+    assert stats["hot_keys"] >= 1
+    assert stats["salt_buckets"] == 4
