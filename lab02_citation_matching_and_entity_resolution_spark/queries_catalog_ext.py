@@ -1242,3 +1242,87 @@ def dedup_incremental_band_pairs(spark, sf_dir):
         docs.where(F.col("doc_id") % 5 == 0), n_hashes=8, shingle_n=4
     )
     return dedup.incremental_band_pairs(new_sigs, index, n_hashes=8, bands=4)
+
+
+# =========================================================================
+# Catalog batch 6: gap-based sessionization over the events stream
+# (operators/sessions.py; streaming analogue in streaming/live_stats.py).
+# driver=False (driver registry capped at its curated 50); the suite runs
+# the identical DuckDB parity gate.
+# =========================================================================
+
+q_sess_assign_sql = """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 21600.0
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx,
+       concat(CAST(user_id AS VARCHAR), '#',
+              CAST(CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS VARCHAR)) AS session_id
+FROM b
+"""
+
+
+@q("sess_gap_assign", q_sess_assign_sql,
+   "Gap-based sessionization of the events stream: per-user lag window, "
+   "boundary when the pause exceeds 6h (strictly), running-sum session "
+   "index — one hash shuffle on user_id, no global sort",
+   driver=False)
+def sess_gap_assign(spark, sf_dir):
+    from .operators.sessions import sessionize
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=21600,
+        tiebreak_cols=("event_id",),
+    )
+
+
+q_sess_stats_sql = """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 21600.0
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM b
+)
+SELECT user_id,
+       concat(CAST(user_id AS VARCHAR), '#', CAST(session_idx AS VARCHAR)) AS session_id,
+       session_idx,
+       count(*) AS n_events,
+       min(ts) AS started_at,
+       max(ts) AS ended_at,
+       epoch(max(ts)) - epoch(min(ts)) AS duration_sec
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
+@q("sess_session_stats", q_sess_stats_sql,
+   "Per-session rollup of the sessionized events (bounds, count, duration): "
+   "map-side-combinable groupBy on the session key",
+   driver=False)
+def sess_session_stats(spark, sf_dir):
+    from .operators.sessions import session_stats, sessionize
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=21600,
+        tiebreak_cols=("event_id",),
+    )
+    return session_stats(sess)
