@@ -299,6 +299,24 @@ def main() -> None:
     )
     timings["text_pipeline"] = round(time.time() - t0, 3)
 
+    # round-5 sessionization leg: per-user gap sessions over the events
+    # table + per-session rollup (one hash shuffle + one partial agg)
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        sessions as sess_ops,
+    )
+
+    ev = T(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    t0 = time.time()
+    _force(
+        sess_ops.session_stats(
+            sess_ops.sessionize(
+                ev, key_col="user_id", ts_col="ts", gap_seconds=21600,
+                tiebreak_cols=("event_id",),
+            )
+        )
+    )
+    timings["sessionize"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

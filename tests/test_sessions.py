@@ -117,3 +117,48 @@ def test_single_shuffle_plan(spark):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_cross_implementation_witness_random_events(spark):
+    """Independent plain-Python greedy sessionizer vs the Spark window
+    implementation over seeded adversarial data: microsecond-fraction
+    timestamps, duplicate timestamps (tiebreak), and pauses planted exactly
+    AT the gap (must merge: strictly-greater splits)."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(23120334)
+    gap = 300  # 5 minutes
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = datetime.fromisoformat("2026-03-01T00:00:00")
+        for _ in range(rng.randint(1, 60)):
+            choice = rng.random()
+            if choice < 0.15:
+                step_us = gap * 1_000_000            # exactly the gap: merge
+            elif choice < 0.25:
+                step_us = gap * 1_000_000 + 1        # 1us over: split
+            elif choice < 0.35:
+                step_us = 0                          # duplicate ts: tiebreak
+            else:
+                step_us = rng.randint(1, 2 * gap * 1_000_000)
+            t = t + timedelta(microseconds=step_us)
+            rows.append((eid, f"u{u}", t))
+            eid += 1
+
+    # independent reference: greedy scan in event order per user
+    ref = {}
+    by_user = {}
+    for e, u, t in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        last, idx = by_user.get(u, (None, 0))
+        if last is None or (t - last).total_seconds() > gap:
+            idx += 1
+        by_user[u] = (t, idx)
+        ref[e] = (u, idx)
+
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp_ntz")
+    out = sessionize(df, key_col="user_id", ts_col="ts", gap_seconds=gap,
+                     tiebreak_cols=("event_id",))
+    got = {r["event_id"]: (r["user_id"], r["session_idx"]) for r in out.collect()}
+    assert got == ref
