@@ -319,3 +319,46 @@ def decontaminate(
             F.min("g").alias("sample_ngram"),
         )
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    bad_substrings: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style per-line boilerplate filtering (Raffel et al. 2020 §2.2 rules
+    that need no external model): keep a line only if it has at least
+    ``min_words`` whitespace words, contains none of ``bad_substrings``
+    (case-insensitive), and — when ``require_terminal_punct`` — ends in
+    . ! ? or a closing quote after one of those.
+
+    One row per doc: ``text_clean`` (kept lines re-joined with newline),
+    ``n_lines_kept``, ``n_lines_dropped``.  Pure array expressions
+    (split -> filter -> array_join): zero shuffle, whole-stage codegen,
+    work linear in characters — the right shape for a first-pass corpus
+    scrub at 100 TB where a per-line Python UDF would dominate the job.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def _keep(l: F.Column) -> F.Column:
+        lower = F.lower(l)
+        ok = F.size(F.split(l, r"\s+")) >= F.lit(min_words)
+        for bad in bad_substrings:
+            ok = ok & ~lower.contains(F.lit(bad.lower()))
+        if require_terminal_punct:
+            ok = ok & l.rlike(r"""[.!?]["')\]]?$""")
+        return ok
+
+    kept = F.filter(lines, _keep)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+    )

@@ -1326,3 +1326,60 @@ def sess_session_stats(spark, sf_dir):
         tiebreak_cols=("event_id",),
     )
     return session_stats(sess)
+
+
+q_c4_line_filter_sql = r"""
+WITH built AS (
+  SELECT doc_id,
+         concat(text, chr(10),
+                concat('Document ', CAST(doc_id AS VARCHAR),
+                       ' stays perfectly readable today.'), chr(10),
+                'Enable javascript to view this page.', chr(10),
+                'Click here to continue reading', chr(10),
+                'config { verbose: true }.', chr(10),
+                'Too short.') AS t
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM built
+),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+             len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'lorem ipsum')
+             AND NOT contains(lower(l), '{')
+             AND regexp_matches(l, '[.!?]["'')\]]?$')) AS keep
+  FROM lined
+)
+SELECT doc_id,
+       array_to_string(keep, chr(10)) AS text_clean,
+       len(keep) AS n_lines_kept,
+       len(lines) - len(keep) AS n_lines_dropped
+FROM kept
+"""
+
+
+@q("text_c4_line_filter", q_c4_line_filter_sql,
+   "C4-style boilerplate line filter (>=3 words, no javascript/lorem "
+   "ipsum/brace, terminal punctuation); the built text injects one line per "
+   "drop rule plus a keeper so every predicate fires on every doc",
+   driver=False)
+def text_c4_line_filter(spark, sf_dir):
+    built = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.concat(F.lit("Document "), F.col("doc_id").cast("string"),
+                     F.lit(" stays perfectly readable today.")), F.lit("\n"),
+            F.lit("Enable javascript to view this page."), F.lit("\n"),
+            F.lit("Click here to continue reading"), F.lit("\n"),
+            F.lit("config { verbose: true }."), F.lit("\n"),
+            F.lit("Too short."),
+        ).alias("t"),
+    )
+    return textstats.c4_line_filter(built, text_col="t")

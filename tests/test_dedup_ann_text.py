@@ -850,3 +850,56 @@ def test_incremental_band_pairs_new_vs_corpus(spark):
         if (l in new_ids) != (r in new_ids)
     }
     assert got2 == cross
+
+
+def test_c4_line_filter_rules(spark):
+    """Each drop rule fires independently; keeper lines survive with order
+    preserved; counts add up."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    text = "\n".join([
+        "This first sentence is perfectly fine.",     # keep
+        "Click here now",                              # no terminal punct
+        "Enable JavaScript to continue browsing.",     # bad substring (ci)
+        "Nope.",                                       # < 3 words
+        "var x = { a: 1 };",                           # brace
+        'He said "it works!"',                         # ends quote after !
+        "",                                            # blank: not counted
+        "  A second keeper line stays here too.  ",    # keep (trimmed)
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = textstats.c4_line_filter(df).collect()[0]
+    assert row["n_lines_kept"] == 3
+    assert row["n_lines_dropped"] == 4
+    assert row["text_clean"].split("\n") == [
+        "This first sentence is perfectly fine.",
+        'He said "it works!"',
+        "A second keeper line stays here too.",
+    ]
+
+
+def test_c4_line_filter_no_terminal_punct_requirement(spark):
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "three plain words\nanother good line here")],
+        "doc_id long, text string",
+    )
+    row = textstats.c4_line_filter(df, require_terminal_punct=False).collect()[0]
+    assert row["n_lines_kept"] == 2 and row["n_lines_dropped"] == 0
+
+
+def test_c4_line_filter_stays_codegen(spark):
+    """Scale pin: pure array expressions — no shuffle, no Python eval."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators import (
+        textstats,
+    )
+
+    df = spark.createDataFrame([(1, "a line here.")], "doc_id long, text string")
+    plan = textstats.c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
