@@ -72,6 +72,13 @@ def sessionize(
     pass the natural sequence column (event_id, turn_idx).  Ties left
     unbroken would make boundary placement nondeterministic across runs;
     the caller owns choosing a real tiebreaker.
+
+    NULL timestamps: each NULL-ts row starts its own session (lag sees NULL
+    -> boundary fires), ordered first within the key (Spark ASC default is
+    NULLS FIRST — note DuckDB's ASC default is NULLS LAST, so the catalog
+    oracle is only byte-equivalent on NULL-free ts columns, which the
+    events table guarantees).  Filter or default NULL ts upstream if rows
+    must not session alone.
     """
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     w = Window.partitionBy(key_col).orderBy(*order)
