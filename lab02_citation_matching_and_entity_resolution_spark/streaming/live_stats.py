@@ -71,6 +71,11 @@ def turn_rate_windows(
     watermark passes its end.  Late rows inside the delay are counted;
     later ones are dropped by the engine (the documented trade — the
     watermark bounds both state and lateness).
+
+    Works on a BATCH frame too (withWatermark is a no-op there): the same
+    call is then a plain tumbling-window groupBy — one code path for the
+    live dashboard and its backfill (parity pinned in
+    tests/test_streaming_live_stats.py).
     """
     _require_watermarkable(stream, ts_col)
     return (

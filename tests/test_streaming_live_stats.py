@@ -165,3 +165,20 @@ def test_conversation_progress_rejects_batch_frames(spark):
     )
     with pytest.raises(ValueError, match="streaming"):
         conversation_progress(ev)
+
+
+def test_turn_rate_windows_batch_mode_backfill(spark):
+    """The same turn_rate_windows call runs in BATCH (watermark no-op):
+    one code path for live dashboard and backfill."""
+    ev = spark.createDataFrame(
+        [("user", datetime.fromisoformat("2026-01-01T10:00:10")),
+         ("user", datetime.fromisoformat("2026-01-01T10:02:10")),
+         ("assistant", datetime.fromisoformat("2026-01-01T10:03:10")),
+         ("user", datetime.fromisoformat("2026-01-01T10:07:00"))],
+        "role string, ts timestamp_ntz",
+    )
+    rows = {(r["role"], r["window_start"]): r["n_events"]
+            for r in turn_rate_windows(ev, key_col="role").collect()}
+    w0 = datetime.fromisoformat("2026-01-01T10:00:00")
+    w1 = datetime.fromisoformat("2026-01-01T10:05:00")
+    assert rows == {("user", w0): 2, ("assistant", w0): 1, ("user", w1): 1}
