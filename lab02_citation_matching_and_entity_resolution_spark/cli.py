@@ -52,6 +52,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="JSONL turn-record directory: drain it through the "
                          "streaming ingest front into documents_live, then "
                          "exit (checkpointed; re-invocation is incremental)")
+    ap.add_argument("--stream-stats", action="store_true",
+                    help="with --stream-input: also drain the live-stats "
+                         "queries — watermarked per-role turn_rate_5m and "
+                         "timeout-closed conversations_closed tables "
+                         "(own checkpoints; incremental like the ingest)")
+    ap.add_argument("--stream-gap-seconds", type=int, default=1800,
+                    help="idle gap after which --stream-stats closes a "
+                         "conversation")
     ap.add_argument("--resume", default=None, help="run_id to resume")
     ap.add_argument("--n-partitions", type=int, default=64,
                     help="lineage partition count (cluster-size independent)")
@@ -88,6 +96,34 @@ def main(argv: list[str] | None = None) -> None:
             else 0
         )
         print(f"stream drained: turns_raw={n_turns} documents_live={n_docs}")
+        if args.stream_stats:
+            from .streaming.live_stats import start_live_stats_drain
+
+            qs = start_live_stats_drain(
+                read_transcript_stream(spark, args.stream_input),
+                store,
+                os.path.join(args.output, "_stream_stats_ckpt"),
+                gap_seconds=args.stream_gap_seconds,
+            )
+            for q2 in qs:
+                if not q2.awaitTermination(600):
+                    q2.stop()
+                    print("stream stats drain TIMED OUT after 600s — re-run "
+                          "to resume from checkpoint", file=sys.stderr)
+                    spark.stop()
+                    sys.exit(2)
+            def _n(table: str) -> int:
+                # a drain that closed nothing leaves a metadata-only sink
+                # dir; parquet schema inference fails there -> count is 0
+                try:
+                    return store.read(table).count() if store.exists(table) else 0
+                except Exception:
+                    return 0
+
+            n_rate = _n("turn_rate_5m")
+            n_closed = _n("conversations_closed")
+            print(f"stream stats: turn_rate_5m={n_rate} "
+                  f"conversations_closed={n_closed}")
         spark.stop()
         return
 

@@ -249,3 +249,56 @@ def conversation_progress(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def start_live_stats_drain(
+    stream: DataFrame,
+    store,
+    checkpoint_root: str,
+    rate_table: str = "turn_rate_5m",
+    closed_table: str = "conversations_closed",
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+    gap_seconds: int = 1800,
+):
+    """Attach the two live-stats queries to a turn stream in availableNow
+    (drain/backfill) mode: watermarked per-role window counts appended to
+    ``rate_table`` and timeout-closed conversation summaries appended to
+    ``closed_table``.  Returns the two started queries; the caller awaits
+    both.
+
+    Sinks are parquet path sinks under the TableStore root (readable with
+    ``store.read`` afterwards); on an Iceberg-configured cluster the same
+    frames go to ``writeStream.toTable`` instead — the operators are
+    sink-agnostic.  Checkpoints live under ``<checkpoint_root>/rate`` and
+    ``/closed``, so repeated drains resume: a conversation left OPEN by one
+    drain (no later event to advance the watermark past its last turn +
+    gap) closes in a later drain once such data arrives — state carries in
+    the checkpoint, the same contract as the ingest front.
+    """
+    import os
+
+    rate = turn_rate_windows(
+        stream, key_col="role", window_duration=window_duration,
+        watermark_delay=watermark_delay,
+    )
+    q_rate = (
+        rate.writeStream.format("parquet")
+        .option("path", store._path(rate_table))
+        .option("checkpointLocation", os.path.join(checkpoint_root, "rate"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    closed = conversation_progress(
+        stream, gap_seconds=gap_seconds, watermark_delay=watermark_delay
+    )
+    q_closed = (
+        closed.writeStream.format("parquet")
+        .option("path", store._path(closed_table))
+        .option("checkpointLocation", os.path.join(checkpoint_root, "closed"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q_rate, q_closed

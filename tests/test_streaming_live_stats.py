@@ -182,3 +182,56 @@ def test_turn_rate_windows_batch_mode_backfill(spark):
     w0 = datetime.fromisoformat("2026-01-01T10:00:00")
     w1 = datetime.fromisoformat("2026-01-01T10:05:00")
     assert rows == {("user", w0): 2, ("assistant", w0): 1, ("user", w1): 1}
+
+
+def test_start_live_stats_drain_incremental(spark, tmp_path):
+    """Drain mode: first drain leaves the conversation OPEN (no later event
+    to advance the watermark) and emits no closed rows; a second drain with
+    later data closes it — state carries in the checkpoint across drains,
+    the same contract as the ingest front."""
+    from lab02_citation_matching_and_entity_resolution_spark.sources.tables import (
+        TableStore,
+    )
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.live_stats import (
+        start_live_stats_drain,
+    )
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "stats_ckpt")
+    store = TableStore(spark, str(tmp_path / "tables"))
+    _write_jsonl(src, "a.jsonl", [
+        _turn("c1", 0, "2026-01-01T10:00:00", role="user"),
+        _turn("c1", 1, "2026-01-01T10:00:40", role="assistant"),
+    ])
+
+    def drain():
+        qs = start_live_stats_drain(
+            read_transcript_stream(spark, src), store, ckpt,
+            gap_seconds=60, watermark_delay="1 minute",
+        )
+        for q in qs:
+            assert q.awaitTermination(120)
+
+    drain()
+    # nothing closed yet; rate table may hold only the window the no-data
+    # batch's watermark already passed (none here)
+    def n(table):
+        try:
+            return store.read(table).count() if store.exists(table) else 0
+        except Exception:
+            return 0
+    assert n("conversations_closed") == 0
+
+    _write_jsonl(src, "b.jsonl", [
+        _turn("c2", 0, "2026-01-01T12:00:00", role="user"),
+    ])
+    drain()
+    closed = {r["conv_id"]: r for r in store.read("conversations_closed").collect()}
+    assert list(closed) == ["c1"]
+    assert closed["c1"]["n_turns"] == 2
+    assert closed["c1"]["closed_by"] == "timeout"
+    # the 10:00-10:05 window closed once the far-future turn advanced the
+    # watermark: both roles' counts present
+    rates = {(r["role"],): r["n_events"]
+             for r in store.read("turn_rate_5m").collect()}
+    assert rates[("user",)] == 1 and rates[("assistant",)] == 1
