@@ -107,18 +107,34 @@ def main(argv: list[str] | None = None) -> None:
             )
             for q2 in qs:
                 if not q2.awaitTermination(600):
-                    q2.stop()
+                    # stop EVERY stats query, not just the timed-out one:
+                    # a sibling still active when spark.stop() runs is the
+                    # mid-batch kill the ingest path avoids by stopping the
+                    # query first (round-5 ADVICE)
+                    for q3 in qs:
+                        q3.stop()
                     print("stream stats drain TIMED OUT after 600s — re-run "
                           "to resume from checkpoint", file=sys.stderr)
                     spark.stop()
                     sys.exit(2)
             def _n(table: str) -> int:
                 # a drain that closed nothing leaves a metadata-only sink
-                # dir; parquet schema inference fails there -> count is 0
-                try:
-                    return store.read(table).count() if store.exists(table) else 0
-                except Exception:
+                # dir; parquet schema inference fails there -> count is 0.
+                # Only THAT failure maps to 0 — a genuinely corrupted sink
+                # must not masquerade as a clean empty drain (round-5
+                # ADVICE), so anything else logs and re-raises.
+                from pyspark.errors import AnalysisException
+
+                if not store.exists(table):
                     return 0
+                try:
+                    return store.read(table).count()
+                except AnalysisException as exc:
+                    msg = str(exc)
+                    if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
+                        return 0  # metadata-only sink dir: nothing was closed
+                    print(f"reading {table} failed: {msg}", file=sys.stderr)
+                    raise
 
             n_rate = _n("turn_rate_5m")
             n_closed = _n("conversations_closed")

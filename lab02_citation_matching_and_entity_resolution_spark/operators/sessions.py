@@ -30,28 +30,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def ntz_epoch_seconds(c: Column) -> Column:
-    """Seconds since epoch (DOUBLE, microsecond-exact) for a TIMESTAMP_NTZ
-    column, computed WITHOUT a timezone interpretation.
+def ntz_epoch_micros(c: Column) -> Column:
+    """Microseconds since epoch (LONG, exact) for a TIMESTAMP_NTZ column,
+    computed WITHOUT a timezone interpretation.
 
     ``unix_micros``/``cast("double")`` reject TIMESTAMP_NTZ outright, and
     routing through ``cast("timestamp")`` interprets the wall time in the
     session timezone — differences then shift across DST boundaries, a
     correctness bug a UTC-only test box never sees.  Decomposing into
     date-diff days + HOUR/MINUTE/SECOND extracts is exact (SECOND carries
-    the microsecond fraction as DECIMAL) and purely arithmetic, so it stays
-    inside whole-stage codegen.  DuckDB's ``epoch(ts)`` (DOUBLE) agrees
-    bit-for-bit for the microsecond timestamps parquet stores: epoch
-    seconds fit double's 2^53 integer range with room for the 1e-6
-    fraction.
+    the microsecond fraction as DECIMAL(8,6); ×1e6 and the LONG cast are
+    exact) and purely arithmetic, so it stays inside whole-stage codegen.
+
+    LONG (not DOUBLE) is the boundary-comparison type on purpose: at ~2e9
+    epoch seconds a DOUBLE epoch-seconds representation carries up to
+    ~1.2e-7 s rounding per value, so a pause of EXACTLY the gap with
+    fractional-microsecond timestamps could compute to gap+2.4e-7 and
+    spuriously split (round-5 ADVICE).  Integer microseconds make the
+    strictly-greater gap comparison exact, and match DuckDB's
+    ``epoch_us(ts)`` BIGINT bit-for-bit.
     """
     days = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
     return (
-        days.cast("double") * F.lit(86400.0)
-        + F.hour(c).cast("double") * F.lit(3600.0)
-        + F.minute(c).cast("double") * F.lit(60.0)
-        + F.extract(F.lit("SECOND"), c).cast("double")
+        days.cast("long") * F.lit(86_400_000_000).cast("long")
+        + F.hour(c).cast("long") * F.lit(3_600_000_000).cast("long")
+        + F.minute(c).cast("long") * F.lit(60_000_000).cast("long")
+        + (F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)).cast("long")
     )
+
+
+def ntz_epoch_seconds(c: Column) -> Column:
+    """Seconds since epoch (DOUBLE) for a TIMESTAMP_NTZ column — the exact
+    LONG microsecond count divided once by 1e6, so two timestamps' DIFFERENCE
+    taken in micros first is exact; use this only where a seconds-unit DOUBLE
+    is the output contract (durations), never for boundary comparisons
+    (use :func:`ntz_epoch_micros`)."""
+    return ntz_epoch_micros(c).cast("double") / F.lit(1_000_000.0)
 
 
 def sessionize(
@@ -75,19 +89,20 @@ def sessionize(
 
     NULL timestamps: each NULL-ts row starts its own session (lag sees NULL
     -> boundary fires), ordered first within the key (Spark ASC default is
-    NULLS FIRST — note DuckDB's ASC default is NULLS LAST, so the catalog
-    oracle is only byte-equivalent on NULL-free ts columns, which the
-    events table guarantees).  Filter or default NULL ts upstream if rows
-    must not session alone.
+    NULLS FIRST; the DuckDB oracles spell ``NULLS FIRST`` explicitly since
+    DuckDB's ASC default is NULLS LAST — the NULL path is parity-witnessed
+    by the ``sess_gap_assign_null_ts`` catalog query).  Filter or default
+    NULL ts upstream if rows must not session alone.
     """
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    # seconds-since-epoch DOUBLE subtraction: exact for the microsecond
-    # timestamps both engines store (2^53 >> microseconds-per-millennium)
-    gap = ntz_epoch_seconds(F.col(ts_col)) - ntz_epoch_seconds(prev_ts)
+    # integer-microsecond subtraction: the strictly-greater boundary is
+    # EXACT (no double rounding at a pause of exactly gap_seconds)
+    gap = ntz_epoch_micros(F.col(ts_col)) - ntz_epoch_micros(prev_ts)
     boundary = F.when(
-        prev_ts.isNull() | (gap > F.lit(float(gap_seconds))), F.lit(1)
+        prev_ts.isNull() | (gap > F.lit(int(gap_seconds) * 1_000_000).cast("long")),
+        F.lit(1),
     ).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = df.withColumn(
@@ -116,8 +131,12 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("started_at"),
         F.max(ts_col).alias("ended_at"),
-        (F.max(ntz_epoch_seconds(F.col(ts_col))) - F.min(ntz_epoch_seconds(F.col(ts_col))))
-        .alias("duration_sec"),
+        # micros first, ONE division: fl(exact_long / 1e6) matches DuckDB's
+        # (epoch_us(max)-epoch_us(min))/1e6 bit-for-bit
+        (
+            (F.max(ntz_epoch_micros(F.col(ts_col))) - F.min(ntz_epoch_micros(F.col(ts_col))))
+            .cast("double") / F.lit(1_000_000.0)
+        ).alias("duration_sec"),
     ]
     if extra_aggs:
         aggs.extend(extra_aggs)

@@ -336,10 +336,19 @@ def c4_line_filter(
     . ! ? or a closing quote after one of those.
 
     One row per doc: ``text_clean`` (kept lines re-joined with newline),
-    ``n_lines_kept``, ``n_lines_dropped``.  Pure array expressions
-    (split -> filter -> array_join): zero shuffle, whole-stage codegen,
-    work linear in characters — the right shape for a first-pass corpus
-    scrub at 100 TB where a per-line Python UDF would dominate the job.
+    ``n_lines_kept``, ``n_lines_dropped``, plus PAGE-LEVEL drop flags:
+    Raffel et al. apply the curly-brace and "lorem ipsum" rules to the whole
+    page (drop the document), not per line — ``doc_drop_curly`` /
+    ``doc_drop_lorem`` flag those on the ORIGINAL text so a faithful C4
+    pass is ``out.where(~doc_drop_curly & ~doc_drop_lorem)`` over the
+    line-filtered remainder (round-5 ADVICE: the per-line-only application
+    was a documented fidelity gap).  The flags are emitted rather than
+    applied so callers can keep the line-filter-only behavior.
+
+    Pure array expressions (split -> filter -> array_join): zero shuffle,
+    whole-stage codegen, work linear in characters — the right shape for a
+    first-pass corpus scrub at 100 TB where a per-line Python UDF would
+    dominate the job.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
@@ -356,9 +365,12 @@ def c4_line_filter(
         return ok
 
     kept = F.filter(lines, _keep)
+    lower_doc = F.lower(F.col(text_col))
     return docs.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("text_clean"),
         F.size(kept).alias("n_lines_kept"),
         (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+        lower_doc.contains(F.lit("{")).alias("doc_drop_curly"),
+        lower_doc.contains(F.lit("lorem ipsum")).alias("doc_drop_lorem"),
     )

@@ -1148,7 +1148,10 @@ win AS (
 SELECT doc_id, n_tokens, shard,
        cum - n_tokens AS start_offset,
        CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
-       (n_tokens > 0 AND floor((cum - 1) / 2000.0) <> floor((cum - n_tokens) / 2000.0)) AS straddles
+       (n_tokens > 0 AND floor((cum - 1) / 2000.0) <> floor((cum - n_tokens) / 2000.0)) AS straddles,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST(floor((cum - 1) / 2000.0) - floor((cum - n_tokens) / 2000.0) + 1 AS BIGINT)
+       END AS n_packs_spanned
 FROM win
 """
 
@@ -1255,7 +1258,7 @@ q_sess_assign_sql = """
 WITH b AS (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 21600.0
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
               THEN 1 ELSE 0 END AS boundary
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1290,7 +1293,7 @@ q_sess_stats_sql = """
 WITH b AS (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 21600.0
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
               THEN 1 ELSE 0 END AS boundary
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1307,7 +1310,7 @@ SELECT user_id,
        count(*) AS n_events,
        min(ts) AS started_at,
        max(ts) AS ended_at,
-       epoch(max(ts)) - epoch(min(ts)) AS duration_sec
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
 FROM s
 GROUP BY user_id, session_idx
 """
@@ -1326,6 +1329,57 @@ def sess_session_stats(spark, sf_dir):
         tiebreak_cols=("event_id",),
     )
     return session_stats(sess)
+
+
+# NULL-ts parity witness (round-5 verdict #6): deterministically NULL out a
+# slice of timestamps, then sessionize.  Spark's ASC default is NULLS FIRST;
+# DuckDB's is NULLS LAST, so the oracle window spells NULLS FIRST explicitly
+# — this converts the previously documented engine difference into a parity
+# gate: every NULL-ts row sessions alone, ordered first within its key.
+q_sess_null_ts_sql = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE ts END AS ts
+  FROM events
+),
+b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id)
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(boundary) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC NULLS FIRST, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx,
+       concat(CAST(user_id AS VARCHAR), '#',
+              CAST(CAST(sum(boundary) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC NULLS FIRST, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS VARCHAR)) AS session_id
+FROM b
+"""
+
+
+@q("sess_gap_assign_null_ts", q_sess_null_ts_sql,
+   "Sessionization with NULL timestamps present (event_id%97==0 slice nulled): "
+   "each NULL-ts row sessions alone and orders first within its key — the "
+   "NULLS FIRST oracle pins the engine's NULL ordering",
+   driver=False)
+def sess_gap_assign_null_ts(spark, sf_dir):
+    from .operators.sessions import sessionize
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("ts")).alias("ts"),
+    )
+    return sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=21600,
+        tiebreak_cols=("event_id",),
+    )
 
 
 q_c4_line_filter_sql = r"""
@@ -1356,11 +1410,13 @@ kept AS (
              AND regexp_matches(l, '[.!?]["'')\]]?$')) AS keep
   FROM lined
 )
-SELECT doc_id,
-       array_to_string(keep, chr(10)) AS text_clean,
-       len(keep) AS n_lines_kept,
-       len(lines) - len(keep) AS n_lines_dropped
-FROM kept
+SELECT k.doc_id,
+       array_to_string(k.keep, chr(10)) AS text_clean,
+       len(k.keep) AS n_lines_kept,
+       len(k.lines) - len(k.keep) AS n_lines_dropped,
+       contains(lower(b.t), '{') AS doc_drop_curly,
+       contains(lower(b.t), 'lorem ipsum') AS doc_drop_lorem
+FROM kept k JOIN built b ON k.doc_id = b.doc_id
 """
 
 

@@ -75,6 +75,21 @@ class TableStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def sink_path(self, name: str) -> str:
+        """Public filesystem path for ``name`` — for writers the store does
+        not own (e.g. ``writeStream.format("parquet").option("path", ...)``),
+        so callers never reach into ``_path`` (round-5 ADVICE).  Only valid
+        in parquet mode: an Iceberg-configured store has no path sink —
+        streaming writers must target ``writeStream.toTable`` there, and a
+        loud error beats a parquet directory silently shadowing the catalog
+        table."""
+        if self._use_iceberg():
+            raise ValueError(
+                f"sink_path({name!r}): store is Iceberg-backed; use "
+                f"writeStream.toTable('{self.catalog}.{name}') instead of a path sink"
+            )
+        return self._path(name)
+
     def exists(self, name: str) -> bool:
         if self._use_iceberg():
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")

@@ -284,7 +284,7 @@ def start_live_stats_drain(
     )
     q_rate = (
         rate.writeStream.format("parquet")
-        .option("path", store._path(rate_table))
+        .option("path", store.sink_path(rate_table))
         .option("checkpointLocation", os.path.join(checkpoint_root, "rate"))
         .outputMode("append")
         .trigger(availableNow=True)
@@ -295,7 +295,7 @@ def start_live_stats_drain(
     )
     q_closed = (
         closed.writeStream.format("parquet")
-        .option("path", store._path(closed_table))
+        .option("path", store.sink_path(closed_table))
         .option("checkpointLocation", os.path.join(checkpoint_root, "closed"))
         .outputMode("append")
         .trigger(availableNow=True)

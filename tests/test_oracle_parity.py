@@ -38,7 +38,8 @@ def _canon(v):
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:19]
+        s = v.isoformat()[:19]
+        return None if s == "NaT" else s  # pandas renders SQL NULL ts as NaT
     return v
 
 
