@@ -59,6 +59,19 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _control(spark, cpus: int) -> float:
+    """In-JVM pure-compute control leg (same work as bench.py's control):
+    map-only sha2, no shuffle, no Python.  Identical work at every capture,
+    so an inflated control_sec flags external-load contamination for the
+    stage that follows it — round-5 verdict: without per-stage controls a
+    loaded-window capture is unattributable."""
+    t0 = time.time()
+    spark.range(0, 40_000_000, 1, cpus * 4).selectExpr(
+        "sum(length(sha2(cast(id as string), 256))) as s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -132,9 +145,16 @@ def main() -> None:
     t_start = time.time()
 
     def stage(name: str):
-        """Context collecting wall + shuffle deltas around a stage body."""
+        """Context collecting wall + shuffle deltas around a stage body.
+
+        A 1-second control leg runs BEFORE each stage (and one more after the
+        last, below): `control_sec` in the record is the load witness for the
+        window in which the stage ran, so a regression in any stage's wall is
+        attributable to load vs engine on this shared box (round-5 verdict
+        task 7)."""
         class _Ctx:
             def __enter__(self):
+                self.control_sec = _control(spark, CPUS)
                 self.rd0, self.wr0 = _shuffle_totals(spark)
                 self.t0 = time.time()
                 self.extra: dict = {}
@@ -148,6 +168,7 @@ def main() -> None:
                 rec = {
                     "stage": name,
                     "wall_sec": round(wall, 2),
+                    "control_sec": self.control_sec,
                     "shuffle_read_mb": (
                         round((rd1 - self.rd0) / 1e6, 1) if self.rd0 >= 0 and rd1 >= 0 else None
                     ),
@@ -307,6 +328,9 @@ def main() -> None:
         "n_pairs": n_pairs,
         "threshold": THRESHOLD,
         "total_sec": round(total, 1),
+        # trailing control: brackets the LAST stage (every other stage is
+        # bracketed by its own control_sec and the next stage's)
+        "control_sec_final": _control(spark, CPUS),
         "stages": stages,
         "lineage_store": STORE_ROOT,
     }

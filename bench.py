@@ -36,19 +36,24 @@ LEGS = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
 # large-corpus sustained rate (round-2 BENCH/BASELINE.md measured 5.56M
 # pairs via a full n_base=24000 prep; replication reproduces that pair
 # volume without paying 4x synth/assemble/blocking inside the driver's
-# budget).  One leg, run after the sprint; 0 disables.  The leg is SKIPPED
-# (with the reason recorded in the JSON) when the sprint phase already ran
-# past SUSTAINED_DEADLINE seconds — external load on this shared box swings
-# ~2x, and a bench that never prints its JSON line is worse than one
-# without the sustained number.
+# budget).  The leg ALWAYS RUNS (round-5 verdict #2: a deadline-skipped
+# sustained leg left the official artifact without the headline number);
+# box load degrades the MULTIPLIER instead — when the sprint min-leg or the
+# pre-sprint control show a loaded window, mult drops 4 -> 2, bounding the
+# leg at ~2x the measured sprint wall.  0 disables explicitly.
 SUSTAINED_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_MULT", "4"))
-SUSTAINED_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_DEADLINE", "210"))
+# loaded-window thresholds for the adaptive multiplier: control > 1.1 s
+# (quiet-box control is ~0.95-1.0 s) or sprint min-leg > 60 s (quiet-box
+# min-leg at the default corpus is ~7-16 s)
+SUSTAINED_CTRL_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_CTRL_GATE", "1.1"))
+SUSTAINED_LEG_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LEG_GATE", "60"))
 # learned-scorer leg: score the SAME pairs through the fitted logistic model
 # (ML-pipeline path) so the model path has a throughput number alongside the
 # rule path; SPARK_GRAFT_BENCH_MODEL=0 disables.  Skipped (reason recorded)
-# when the sprint already ran past MODEL_DEADLINE seconds — same budget
-# discipline as the sustained leg: a bench that never prints its JSON is
-# worse than one without the model number.
+# when the deadline-critical section (sprint start -> sustained end; synth/
+# assemble/blocking prep EXCLUDED, they are fixtures not measurements) has
+# already run past MODEL_DEADLINE seconds — the model leg is the optional
+# one, the sustained leg never is.
 MODEL_LEG = os.environ.get("SPARK_GRAFT_BENCH_MODEL", "1") == "1"
 MODEL_DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_MODEL_DEADLINE", "400"))
 
@@ -112,6 +117,27 @@ def main() -> None:
     n_pairs = pairs.count()
     timings["blocking"] = round(time.time() - t0, 3)
 
+    # in-JVM pure-compute control (same leg BENCH/scaling.py uses): map-only
+    # sha2, no shuffle, no Python.  Identical work at every capture, so a
+    # loaded-window run shows up as an inflated control_sec — external-load
+    # contamination (round-3 verdict: the 33.2k artifact) becomes
+    # self-diagnosing instead of looking like an engine regression.
+    def _control() -> float:
+        t0 = time.time()
+        spark.range(0, 40_000_000, 1, CPUS * 4).selectExpr(
+            "sum(length(sha2(cast(id as string), 256))) as s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    # PRE-sprint control: calibrates the sustained multiplier and brackets
+    # the sprint window (the post-sprint control brackets the other side)
+    control_pre_sec = _control()
+
+    # deadline-critical clock starts HERE: sprint -> sustained are the
+    # headline measurements; synth/assemble/blocking prep above is fixture
+    # cost and must not eat the model leg's budget (round-5 verdict #1)
+    t_critical_start = time.time()
+
     leg_times = []
     for _ in range(LEGS):
         t0 = time.time()
@@ -122,31 +148,16 @@ def main() -> None:
     timings["score_pairs"] = round(score_sec, 3)
     pairs_per_sec = n_pairs / score_sec if score_sec > 0 else 0.0
 
-    # sprint elapsed is captured BEFORE the control leg: the control inflates
-    # under exactly the load the deadline guards against, and must not count
-    # against the sustained/model budgets it exists to diagnose
-    sprint_elapsed = time.time() - t_bench_start
-
-    # in-JVM pure-compute control (same leg BENCH/scaling.py uses): map-only
-    # sha2, no shuffle, no Python.  Identical work at every capture, so a
-    # loaded-window run shows up as an inflated control_sec — external-load
-    # contamination (round-3 verdict: the 33.2k artifact) becomes
-    # self-diagnosing instead of looking like an engine regression.
-    t0 = time.time()
-    spark.range(0, 40_000_000, 1, CPUS * 4).selectExpr(
-        "sum(length(sha2(cast(id as string), 256))) as s"
-    ).collect()
-    control_sec = round(time.time() - t0, 3)
+    control_sec = _control()
 
     sustained = None
-    if SUSTAINED_MULT > 1 and sprint_elapsed > SUSTAINED_DEADLINE:
-        sustained = {
-            "skipped": f"sprint phase took {round(sprint_elapsed, 1)}s "
-                       f"> deadline {SUSTAINED_DEADLINE}s (loaded box)",
-            "mult": SUSTAINED_MULT,
-        }
-    elif SUSTAINED_MULT > 1:
-        rep = spark.range(SUSTAINED_MULT).select(F.col("id").alias("_rep"))
+    if SUSTAINED_MULT > 1:
+        # adaptive multiplier (never a skip): a loaded window halves the
+        # replication so the leg stays bounded at ~mult x min-leg wall
+        eff_mult = SUSTAINED_MULT
+        if control_pre_sec > SUSTAINED_CTRL_GATE or score_sec > SUSTAINED_LEG_GATE:
+            eff_mult = max(2, SUSTAINED_MULT // 2)
+        rep = spark.range(eff_mult).select(F.col("id").alias("_rep"))
 
         def suffixed(df, cols):
             out = df.crossJoin(F.broadcast(rep))
@@ -168,20 +179,22 @@ def main() -> None:
             "n_pairs": n_big,
             "sec": round(sus_sec, 3),
             "pairs_per_sec": round(n_big / sus_sec, 1) if sus_sec > 0 else 0.0,
-            "mult": SUSTAINED_MULT,
+            "mult": eff_mult,
+            "mult_configured": SUSTAINED_MULT,
+            "mult_reduced_by_load": eff_mult != SUSTAINED_MULT,
         }
         timings["score_pairs_sustained"] = round(sus_sec, 3)
         docs_big.unpersist()
         pairs_big.unpersist()
 
-    # learned-scorer leg AFTER sustained: it is the cheaper of the two
-    # optional legs, so under load (sprint overran both deadlines is rare;
-    # sustained's 210s one is tighter) the model number still lands in the
-    # artifact — the round-3 verdict asked for it in BENCH_r04.
+    # learned-scorer leg AFTER sustained: the model leg is the optional one
+    # (the round-3 verdict asked for it; the round-5 verdict made the
+    # sustained leg mandatory).  Its deadline counts only the critical
+    # section (sprint+sustained), not the prep fixtures.
     model_leg = None
-    if MODEL_LEG and time.time() - t_bench_start > MODEL_DEADLINE:
+    if MODEL_LEG and time.time() - t_critical_start > MODEL_DEADLINE:
         model_leg = {
-            "skipped": f"earlier phases took {round(time.time() - t_bench_start, 1)}s "
+            "skipped": f"sprint+sustained took {round(time.time() - t_critical_start, 1)}s "
                        f"> model deadline {MODEL_DEADLINE}s (loaded box)"
         }
     elif MODEL_LEG:
@@ -328,6 +341,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "n_pairs_scored": n_pairs,
                 "score_legs_sec": [round(t, 3) for t in leg_times],
+                "control_pre_sec": control_pre_sec,
                 "control_sec": control_sec,
                 "model_leg": model_leg,
                 "sustained": sustained,
