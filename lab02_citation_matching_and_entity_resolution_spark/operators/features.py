@@ -262,58 +262,84 @@ FEATURE_COLS = [
 ]
 
 
+# Per-doc scoring payload column names (doc_payload output, minus conv_id).
+PAYLOAD_COLS = [
+    "text_sig", "text_len", "pfx", "tokset", "ntok", "sig", "tools", "year",
+    "sh3", "sh4", "sh5", "nsh3", "nsh4", "nsh5",
+]
+
+
+def doc_payload(docs: DataFrame) -> DataFrame:
+    """One row per document with every doc-side input the pair features need
+    (conv_id + PAYLOAD_COLS) — the reusable half of pair_features.
+
+    Shingle arrays and prefixes are computed ONCE PER DOCUMENT here, on the
+    small side of whatever join replicates them.  Computing them per pair
+    looks equivalent but is catastrophically slower: CollapseProject inlines
+    the shingle expression into every consumer (intersect, union, both
+    empty-guards, x3 n-gram sizes), so each pair row rebuilds ~36
+    distinct-arrays.  A join boundary is a hard materialization line the
+    optimizer cannot re-inline across.  (Profiled: per-pair shingling was
+    the slowest feature path by >10x at 737k pairs.)
+
+    Set elements are xxhash64-encoded to array<long>: 8-byte fixed-width
+    elements make the per-pair array_intersect memory-bandwidth-light
+    (string sets were the dominant shuffle+intersect cost; 64-bit collisions
+    are negligible at these set sizes).  Full doc_text is NOT shipped: its
+    only consumers are the exact-equality guards (with_pair_feature_columns
+    and score_pairs_rule), which (xxhash64, length) witnesses at 8+4 bytes
+    instead of the full payload — the round-5 rehearsal measured enriched
+    pair rows at ~4 KB compressed each (21.9 GB shuffle for 5.5M pairs), and
+    the text was a leading term.
+    """
+    npfx = F.substring("doc_text", 1, NGRAM_PREFIX_CAP)
+
+    def hashed(arr: Column) -> Column:
+        return F.transform(arr, lambda s: F.xxhash64(s))
+
+    return docs.select(
+        F.col("conv_id"),
+        F.xxhash64("doc_text").alias("text_sig"),
+        F.length("doc_text").alias("text_len"),
+        F.substring("doc_text", 1, LEV_PREFIX_CAP).alias("pfx"),
+        hashed(F.array_distinct(F.col("tokens"))).alias("tokset"),
+        F.size(F.col("tokens")).alias("ntok"),
+        F.concat(F.col("roles"), F.col("tools")).alias("sig"),
+        F.col("tools").alias("tools"),
+        F.col("year_like").alias("year"),
+        *[hashed(shingle_expr_on(npfx, n)).alias(f"sh{n}") for n in (3, 4, 5)],
+        *[F.size(shingle_expr_on(npfx, n)).alias(f"nsh{n}") for n in (3, 4, 5)],
+    )
+
+
+def prefixed_payload(
+    pay: DataFrame, prefix: str, id_name: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Rename a doc_payload frame to the ``l_``/``r_`` convention the feature
+    expressions expect; ``extra_cols`` appends further payload columns (e.g.
+    TF-IDF vectors) under the same prefix."""
+    cols = PAYLOAD_COLS + (extra_cols or [])
+    return pay.select(
+        F.col("conv_id").alias(id_name),
+        *[F.col(c).alias(f"{prefix}_{c}") for c in cols],
+    )
+
+
 def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """Attach the full feature vector to candidate pairs.
 
     ``pairs``: (left_id, right_id, ...); ``docs``: assemble_documents output.
     Two shuffle joins on conv_id recover both sides' document attributes; all
     features are computed pipeline-local after the joins (no extra shuffle).
+
+    NOTE the second join re-shuffles the l-enriched pair rows (~4 KB each) —
+    at many pairs/doc that replication dominates the stage shuffle.  The
+    production hot path is fused.fused_scored_pairs, which computes the same
+    features at block-self-join time (each doc's payload ships once per
+    block, never per pair) and is pinned bit-identical to this path; this
+    two-join form remains the reference implementation and the right shape
+    when the caller already has an arbitrary (not block-derived) pair list.
     """
-    # Shingle arrays and prefixes are computed ONCE PER DOCUMENT here, on the
-    # small side of the join.  Computing them per pair looks equivalent but is
-    # catastrophically slower: CollapseProject inlines the shingle expression
-    # into every consumer (intersect, union, both empty-guards, x3 n-gram
-    # sizes), so each pair row rebuilds ~36 distinct-arrays.  The join
-    # boundary below is a hard materialization line the optimizer cannot
-    # re-inline across.  (Profiled: per-pair shingling was the slowest feature
-    # path by >10x at 737k pairs.)
-    def side(prefix: str, id_name: str):
-        npfx = F.substring("doc_text", 1, NGRAM_PREFIX_CAP)
-        # set elements are xxhash64-encoded to array<long>: 8-byte fixed-width
-        # elements make the per-pair array_intersect memory-bandwidth-light
-        # (string sets were the dominant shuffle+intersect cost; 64-bit
-        # collisions are negligible at these set sizes)
-        def hashed(arr: Column) -> Column:
-            return F.transform(arr, lambda s: F.xxhash64(s))
-
-        # full doc_text is NOT shipped across the pair joins: its only
-        # consumers are the exact-equality guards (here and in
-        # score_pairs_rule), which (xxhash64, length) witnesses at 8+4 bytes
-        # instead of the full payload — the round-5 rehearsal measured the
-        # enriched pair rows at ~4 KB compressed each (21.9 GB shuffle for
-        # 5.5M pairs), and the text was a leading term.  64-bit collision on
-        # EQUAL-LENGTH same-corpus docs is negligible (same rationale as the
-        # hashed token/shingle sets below).
-        return docs.select(
-            F.col("conv_id").alias(id_name),
-            F.xxhash64("doc_text").alias(f"{prefix}_text_sig"),
-            F.length("doc_text").alias(f"{prefix}_text_len"),
-            F.substring("doc_text", 1, LEV_PREFIX_CAP).alias(f"{prefix}_pfx"),
-            hashed(F.array_distinct(F.col("tokens"))).alias(f"{prefix}_tokset"),
-            F.size(F.col("tokens")).alias(f"{prefix}_ntok"),
-            F.concat(F.col("roles"), F.col("tools")).alias(f"{prefix}_sig"),
-            F.col("tools").alias(f"{prefix}_tools"),
-            F.col("year_like").alias(f"{prefix}_year"),
-            *[
-                hashed(shingle_expr_on(npfx, n)).alias(f"{prefix}_sh{n}")
-                for n in (3, 4, 5)
-            ],
-            *[
-                F.size(shingle_expr_on(npfx, n)).alias(f"{prefix}_nsh{n}")
-                for n in (3, 4, 5)
-            ],
-        )
-
     # shuffle_hash hint on the DOC sides: by construction candidates >> docs,
     # and the enriched pair rows are heavy (~750 hashed longs of shingle
     # sets + prefixes each side).  The default SortMergeJoin SORTS the pair
@@ -323,9 +349,18 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # the pair side unsorted: measured 2-2.9x on the full-feature path at
     # 5.5M pairs.  The build side per task is docs_rows/shuffle_partitions x
     # ~12 KB — trivially in-memory at any realistic partitioning.
-    joined = pairs.join(side("l", "left_id").hint("shuffle_hash"), "left_id").join(
-        side("r", "right_id").hint("shuffle_hash"), "right_id"
-    )
+    pay = doc_payload(docs)
+    joined = pairs.join(
+        prefixed_payload(pay, "l", "left_id").hint("shuffle_hash"), "left_id"
+    ).join(prefixed_payload(pay, "r", "right_id").hint("shuffle_hash"), "right_id")
+    return with_pair_feature_columns(joined)
+
+
+def with_pair_feature_columns(joined: DataFrame) -> DataFrame:
+    """Apply every pair feature to a frame carrying ``l_``/``r_`` prefixed
+    doc_payload columns (however those got there — per-pair joins in
+    pair_features, or the block self-join in fused.fused_scored_pairs), then
+    drop the heavy payload arrays."""
 
     def ngram_jac(n: int) -> Column:
         # one array_intersect per pair; |union| = na + nb - |inter| from the
