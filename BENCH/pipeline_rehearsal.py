@@ -260,6 +260,34 @@ def main() -> None:
         s.extra["warm_pass_sec"] = round(warm, 2)
         s.extra["pairs_per_sec"] = round(n_pairs / warm, 1)
 
+    # 4b. fused block-local scoring (round-6 hot path) ----------------------
+    # Same pairs, features, and scores as stage 4 (parity pinned bit-exact in
+    # tests/test_fused_scoring.py) but the payload ships once per BLOCK
+    # membership instead of once per pair — this stage is the payload-
+    # replication cut the round-5 verdict asked to measure.  Its wall
+    # INCLUDES re-running the blocking passes (fused blocking+scoring is one
+    # plan); pairs/s is distinct scored pairs / warm wall.
+    from lab02_citation_matching_and_entity_resolution_spark.operators.fused import (
+        fused_scored_pairs,
+    )
+
+    with stage("score_fused") as s:
+        fused, _fused_caps = fused_scored_pairs(docs)
+        slim_f = fused.select(
+            "left_id", "right_id",
+            F.concat_ws(",", "block_passes").alias("block_key"),
+            "score", *FEATURE_COLS,
+        )
+        t0 = time.time()
+        _force(slim_f)
+        s.extra["cold_pass_sec"] = round(time.time() - t0, 2)
+        t1 = time.time()
+        store.create_or_replace(slim_f, "scored_fused")
+        s.extra["rows"] = store.read("scored_fused").count()
+        warm = time.time() - t1
+        s.extra["warm_pass_sec"] = round(warm, 2)
+        s.extra["pairs_per_sec"] = round(s.extra["rows"] / warm, 1)
+
     # 5. model fast score (M6 production path) ------------------------------
     with stage("score_model_fast") as s:
         train = scored.limit(20000).withColumn(
