@@ -33,7 +33,10 @@ sys.path.insert(0, REPO)
 N_BASE = int(os.environ.get("SPARK_GRAFT_REHEARSAL_NBASE", "24000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 THRESHOLD = float(os.environ.get("SPARK_GRAFT_REHEARSAL_THRESHOLD", "0.7"))
-OUT_JSON = os.path.join(REPO, "BENCH", "pipeline_rehearsal.json")
+OUT_JSON = os.environ.get(
+    "SPARK_GRAFT_REHEARSAL_OUT",
+    os.path.join(REPO, "BENCH", "pipeline_rehearsal.json"),
+)
 STORE_ROOT = os.environ.get(
     "SPARK_GRAFT_REHEARSAL_STORE", "/tmp/er_rehearsal_store"
 )

@@ -61,6 +61,8 @@ TRANSCRIPT_DDL = (
 
 TURNS_TABLE = "turns_raw"
 DOCS_TABLE = "documents_live"
+BAND_INDEX_TABLE = "dedup_band_index"
+NEAR_DUP_TABLE = "near_dup_flags"
 N_CONV_BUCKETS = 64
 
 
@@ -192,14 +194,106 @@ def _check_bucket_layout(store: TableStore, turns_table: str, n_buckets: int) ->
         os.unlink(tmp)
 
 
+def flag_near_dups(
+    store: TableStore,
+    batch_docs: DataFrame,
+    affected: DataFrame,
+    n_buckets: int = N_CONV_BUCKETS,
+    band_index_table: str = BAND_INDEX_TABLE,
+    near_dup_table: str = NEAR_DUP_TABLE,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 4,
+    band_cap: int = 1000,
+    text_col: str = "doc_text",
+) -> None:
+    """Incremental near-dup flagging for one ingest micro-batch.
+
+    The operator incremental_band_pairs (dedup.py) exists FOR this loop:
+    the standing corpus is banded once into a persisted index and each batch
+    bands only itself.  Per batch:
+
+      1. MinHash-sign the batch's re-assembled documents (xxhash64 hot path).
+      2. Cross pairs: batch signatures vs the persisted band index, with the
+         batch's own (now stale) index rows anti-joined out first — a
+         re-assembled conversation must match the corpus, not its previous
+         self.
+      3. Intra-batch pairs: minhash_band_pairs on the batch alone (the
+         incremental operator deliberately excludes these — composability).
+      4. Upsert flags keyed by (left_id, right_id) and upsert the batch's
+         fresh band rows into the index keyed by (conv_id, band_idx) — both
+         partitioned by the left/conv bucket, so replay converges and only
+         touched partitions rewrite.
+
+    Index layout: bucket-partitioned by conv_bucket because the parquet
+    merge-upsert prunes on a key-derived partition; on the Iceberg substrate
+    the right spec is bucket(band_key) for join co-location with MERGE
+    handling the per-conv replacement.  Flag semantics: an APPEND-converging
+    evidence log — "these two docs shared a band when flagged".  A later
+    re-assembly that breaks the similarity does not retract old flags
+    (retraction would need an unbounded right_id scan); consumers resolving
+    groups should semi-join flags against live documents, exactly like
+    near_dup_groups(pairs, docs=documents_live).
+    """
+    from ..operators.dedup import (
+        incremental_band_pairs,
+        minhash_band_index,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        batch_docs, n_hashes=n_hashes, shingle_n=shingle_n,
+        id_col="conv_id", text_col=text_col, hash_fn="xxhash64",
+    ).persist()
+    try:
+        new_index = minhash_band_index(
+            sigs, n_hashes=n_hashes, bands=bands, id_col="conv_id"
+        )
+        intra = minhash_band_pairs(
+            sigs, n_hashes=n_hashes, bands=bands, id_col="conv_id",
+            band_cap=band_cap, return_metrics=True,
+        )[0].select("left_id", "right_id", F.lit("batch").alias("origin"))
+        if store.exists(band_index_table):
+            corpus = store.read(band_index_table).join(
+                F.broadcast(affected), "conv_id", "left_anti"
+            ).select(F.col("conv_id"), "band_idx", "band_key")
+            cross = incremental_band_pairs(
+                sigs, corpus, n_hashes=n_hashes, bands=bands, id_col="conv_id",
+                band_cap=band_cap, return_metrics=True,
+            )[0].select("left_id", "right_id", F.lit("cross").alias("origin"))
+            flags = intra.unionByName(cross)
+        else:
+            flags = intra
+        flags = flags.withColumn(
+            "conv_bucket",
+            F.pmod(F.xxhash64("left_id"), F.lit(n_buckets)).cast("int"),
+        )
+        if flags.take(1):
+            store.merge_upsert_partitioned(
+                flags, near_dup_table,
+                key_cols=["left_id", "right_id"], partition_col="conv_bucket",
+            )
+        store.merge_upsert_partitioned(
+            new_index.withColumn("conv_bucket", conv_bucket_expr(n_buckets)),
+            band_index_table,
+            key_cols=["conv_id", "band_idx"], partition_col="conv_bucket",
+        )
+    finally:
+        sigs.unpersist()
+
+
 def incremental_assemble(
     store: TableStore,
     turns_table: str = TURNS_TABLE,
     docs_table: str = DOCS_TABLE,
     n_buckets: int = N_CONV_BUCKETS,
+    near_dups: bool = False,
 ):
     """foreachBatch handler: append turns (bucket-partitioned), re-assemble
-    affected convs from a partition-pruned history read, upsert."""
+    affected convs from a partition-pruned history read, upsert.  With
+    ``near_dups=True`` the batch's documents are additionally LSH-banded
+    against the persisted corpus index (see flag_near_dups)."""
     checked = False
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -235,6 +329,17 @@ def incremental_assemble(
             store.merge_upsert_partitioned(
                 docs, docs_table, key_cols=["conv_id"], partition_col="conv_bucket"
             )
+            if near_dups:
+                # band the freshly upserted docs against the standing corpus
+                # index; read them back from the store (byte-equal to what
+                # the table now holds) with the scan pruned to the touched
+                # buckets — same discipline as the history read above
+                batch_docs = (
+                    store.read(docs_table)
+                    .where(F.col("conv_bucket").isin(buckets))
+                    .join(F.broadcast(affected), "conv_id", "left_semi")
+                )
+                flag_near_dups(store, batch_docs, affected, n_buckets)
         finally:
             batch_df.unpersist()
 
@@ -248,13 +353,14 @@ def start_ingest(
     turns_table: str = TURNS_TABLE,
     docs_table: str = DOCS_TABLE,
     available_now: bool = True,
+    near_dups: bool = False,
 ):
     """Start the ingest query.  available_now=True drains everything currently
     in the source then stops (the testable/backfill mode); False runs
     continuously with the default micro-batch trigger."""
     writer = (
         stream_df.writeStream.foreachBatch(
-            incremental_assemble(store, turns_table, docs_table)
+            incremental_assemble(store, turns_table, docs_table, near_dups=near_dups)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

@@ -298,3 +298,102 @@ def test_bucket_meta_concurrent_first_init_first_writer_wins(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="n_buckets=64"):
         _check_bucket_layout(store, "turns_raw", 32)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup flagging (round-6: incremental_band_pairs wired into
+# the ingest loop — the operator's stated purpose)
+# ---------------------------------------------------------------------------
+
+_ND_TEXT = (
+    "the quarterly report shows revenue grew twelve percent while costs "
+    "stayed flat across every region we operate in this year"
+)
+
+ND_BATCH_A = [
+    {"conv_id": "nd1", "turn_idx": 0, "role": "user", "text": _ND_TEXT, "tool": None, "ts": "2026-01-01T10:00:00"},
+    {"conv_id": "nd2", "turn_idx": 0, "role": "user", "text": _ND_TEXT, "tool": None, "ts": "2026-01-01T10:05:00"},
+    {"conv_id": "nd3", "turn_idx": 0, "role": "user", "text": "a completely unrelated conversation about gardening tools", "tool": None, "ts": "2026-01-01T10:10:00"},
+]
+ND_BATCH_B = [
+    # nd4 duplicates the BATCH-A text: must be flagged against the standing
+    # corpus index (cross), never by re-shingling the corpus
+    {"conv_id": "nd4", "turn_idx": 0, "role": "user", "text": _ND_TEXT, "tool": None, "ts": "2026-01-01T11:00:00"},
+    # nd3 grows: its signature must be REPLACED in the index, and it must
+    # not be matched against its own stale rows
+    {"conv_id": "nd3", "turn_idx": 1, "role": "assistant", "text": "sure, let us talk about pruning shears then", "tool": None, "ts": "2026-01-01T11:05:00"},
+]
+
+
+def _drain_near_dups(spark, src, store, ckpt):
+    q = start_ingest(read_transcript_stream(spark, src), store, ckpt, near_dups=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_near_dup_flags_incremental(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(spark, str(tmp_path / "tables"))
+
+    _write_turns(src, "batch_a.jsonl", ND_BATCH_A)
+    _drain_near_dups(spark, src, store, ckpt)
+
+    # intra-batch: the two identical batch-A conversations flag each other
+    flags1 = {(r["left_id"], r["right_id"]): r["origin"]
+              for r in store.read("near_dup_flags").collect()}
+    assert flags1 == {("nd1", "nd2"): "batch"}
+    # index holds one row per (conv, band): 3 convs x 4 bands
+    idx1 = store.read("dedup_band_index")
+    assert idx1.count() == 12
+    assert idx1.select("conv_id").distinct().count() == 3
+
+    # second arrival drains from the checkpoint (restart safety)
+    _write_turns(src, "batch_b.jsonl", ND_BATCH_B)
+    _drain_near_dups(spark, src, store, ckpt)
+
+    flags2 = {(r["left_id"], r["right_id"]): r["origin"]
+              for r in store.read("near_dup_flags").collect()}
+    # nd4 hits BOTH standing duplicates via the persisted index
+    assert flags2[("nd4", "nd1")] == "cross"
+    assert flags2[("nd4", "nd2")] == "cross"
+    # the batch-A intra flag survives the upsert
+    assert flags2[("nd1", "nd2")] == "batch"
+    # re-assembled nd3 never matches its own stale index rows
+    assert ("nd3", "nd3") not in flags2
+
+    # index grew by the new conv and REPLACED (not duplicated) nd3's rows
+    idx2 = store.read("dedup_band_index")
+    assert idx2.count() == 16  # 4 convs x 4 bands
+    assert idx2.where(F.col("conv_id") == "nd3").count() == 4
+
+    # no-op drain: nothing new, tables stable (checkpoint is the dedup)
+    _drain_near_dups(spark, src, store, ckpt)
+    assert store.read("near_dup_flags").count() == len(flags2)
+    assert store.read("dedup_band_index").count() == 16
+
+
+def test_near_dup_flagging_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay: delivering the same micro-batch twice must leave flags
+    and index identical to a single delivery (both writes are keyed
+    merge-upserts)."""
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    handler = incremental_assemble(store, near_dups=True)
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in ND_BATCH_A],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    handler(batch, 0)
+    once_flags = sorted(
+        (r["left_id"], r["right_id"]) for r in store.read("near_dup_flags").collect()
+    )
+    once_idx = store.read("dedup_band_index").count()
+    handler(batch, 0)  # replay
+    assert sorted(
+        (r["left_id"], r["right_id"]) for r in store.read("near_dup_flags").collect()
+    ) == once_flags
+    assert store.read("dedup_band_index").count() == once_idx
