@@ -81,9 +81,19 @@ n_pairs = pairs.count()
 # stage a production job runs for hours); the min pass is the steady
 # state.  Every pass is reported.
 passes = []
+# stage=fused measures the round-6 production default (fused block-local
+# blocking+scoring, operators/fused.py — its wall includes the blocking
+# passes, identically at every core level so the ratio stays fair);
+# stage=classic keeps the historical two-join leg for cross-round
+# comparability.  Both produce the same scored pair set (parity pinned).
+stage = os.environ.get("SPARK_GRAFT_SCALING_STAGE", "classic")
 for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))):
     t0 = time.time()
-    scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
+    if stage == "fused":
+        from lab02_citation_matching_and_entity_resolution_spark.operators.fused import fused_scored_pairs
+        scored, _m = fused_scored_pairs(docs)
+    else:
+        scored = score_pairs_rule(pair_tfidf_cosine(pair_features(pairs, docs), docs))
     scored.select("left_id", "right_id", "score").write.format("noop").mode("overwrite").save()
     passes.append(time.time() - t0)
 dt = min(passes)
@@ -95,6 +105,7 @@ spark.range(0, 40_000_000, 1, cores * 4).selectExpr(
     "sum(length(sha2(cast(id as string), 256))) as s").collect()
 control = time.time() - t0
 print(json.dumps({"cores": cores, "n_pairs": n_pairs, "score_sec": dt,
+                  "stage": stage,
                   "pass_times": [round(x, 2) for x in passes],
                   "pairs_per_sec": n_pairs / dt, "control_sec": control}))
 spark.stop()
@@ -275,7 +286,12 @@ def main_weak() -> None:
     print(f"weak-scaling efficiency (rate{hi}/rate{lo})/{hi // lo} = {eff:.3f}; "
           f"work/core ratio hi/lo = {work_ratio:.3f}; "
           f"control speedup {ctrl:.2f}x; normalized = {eff * (hi / lo) / ctrl:.3f}")
-    with open(os.path.join(REPO, "BENCH", "scaling_results_weak.json"), "w") as f:
+    stage = os.environ.get("SPARK_GRAFT_SCALING_STAGE", "classic")
+    results["stage"] = stage
+    suffix = "" if stage == "classic" else f"_{stage}"
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_results_weak{suffix}.json"), "w"
+    ) as f:
         json.dump(results, f, indent=2)
 
 
@@ -326,7 +342,12 @@ def main() -> None:
               f"pipeline speedup: {pipe_speedup:.2f}x; "
               f"normalized efficiency = {pipe_speedup / ctrl_speedup:.3f}")
     results["n_base"] = N_BASE
-    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+    stage = os.environ.get("SPARK_GRAFT_SCALING_STAGE", "classic")
+    results["stage"] = stage
+    suffix = "" if stage == "classic" else f"_{stage}"
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_results{suffix}.json"), "w"
+    ) as f:
         json.dump(results, f, indent=2)
 
 

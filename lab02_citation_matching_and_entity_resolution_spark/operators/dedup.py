@@ -633,3 +633,166 @@ def near_dup_groups(
         F.col("cluster_id").alias("group_id"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+# =========================================================================
+# Cross-corpus duplicate SPAN detection (exact-substring dedup)
+# =========================================================================
+
+def duplicate_window_spans(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    stride: int = 1,
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window exact-substring duplicate spans across the corpus.
+
+    The span-level complement to document-level near-dup: Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") show that
+    verbatim substrings repeated ACROSS documents (boilerplate, licenses,
+    quoted headers) survive document-level dedup and are worth removing at
+    substring granularity; C4 (Raffel et al. 2020 §2.2) does the same at
+    three-sentence granularity.  This operator is the Spark-shaped version
+    of their suffix-array scan: every ``stride``-th ``window_tokens``-token
+    window is hashed, windows whose hash occurs >= ``min_occurrences``
+    times corpus-wide are flagged, and per document the flagged windows are
+    merged into maximal contiguous spans (gaps-and-islands).
+
+    Output: one row per merged span —
+      (id_col, span_start, span_end, n_windows)
+    with 1-based INCLUSIVE token positions (tokens = split(text, '\\s+'),
+    the same tokenization the textstats operators use) and n_windows = the
+    number of flagged windows the span merges.
+
+    ``keep_first=True`` (default) exempts the globally first occurrence of
+    each window — ordered by (id, start), i.e. the min-id document keeps
+    its text — so stripping the spans removes every REPEAT but preserves
+    one copy corpus-wide, the Lee et al. policy.  ``keep_first=False``
+    flags all occurrences (C4's drop-everywhere policy for its bad-span
+    lists).
+
+    Scale shape (100 TB): the window explode emits ~n_tokens/stride rows
+    per document of fixed width (id, int, 32-char hash) — large but flat;
+    the occurrence count is one hash-partial groupBy on the hash; the
+    flag-back is a 1:1 equi-join of windows against one row per duplicated
+    hash (hot boilerplate hashes skew the join's window side — AQE skew
+    split handles it, and no row explosion is possible since the dup side
+    is unique per hash); the island merge is a per-document window bounded
+    by document length.  Nothing collects to the driver.  Raising
+    ``stride`` trades boundary precision for a linear cost cut (windows
+    starting between strides are not probed; Lee et al. use stride=1).
+
+    Docs shorter than ``window_tokens`` produce no windows and can never be
+    flagged.  No reference analogue (beyond-reference operator).
+    """
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences < 2 would flag every window, got {min_occurrences}"
+        )
+    w, s = int(window_tokens), int(stride)
+
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+    )
+    toks = fan_out_narrow_input(toks)
+    # md5 window hashes: engine-portable (identical hex in DuckDB), and the
+    # CASE guard keeps Spark's sequence() from producing a DESCENDING range
+    # when the doc is shorter than the window (sequence(1, 0) == [1, 0]).
+    win = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_toks) >= {w} THEN "
+                f"transform(sequence(1, size(_toks) - {w} + 1, {s}), "
+                f"i -> struct(i AS start, "
+                f"md5(concat_ws(' ', slice(_toks, i, {w}))) AS h)) "
+                f"ELSE array() END"
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.start").alias("start"), F.col("_w.h").alias("h"))
+
+    occ = win.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))).alias(
+            "_first"
+        ),
+    ).where(F.col("n_occurrences") >= min_occurrences)
+
+    flagged = win.join(occ, "h")
+    if keep_first:
+        flagged = flagged.where(
+            ~((F.col(id_col) == F.col("_first.d")) & (F.col("start") == F.col("_first.s")))
+        )
+    flagged = flagged.select(
+        id_col, "start", (F.col("start") + w - 1).alias("fin")
+    )
+
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy(id_col).orderBy("start")
+    prev_max_fin = F.max("fin").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # new island when this window starts past the furthest covered token + 1
+    # (strictly: a gap of >= 1 uncovered token splits spans; adjacent or
+    # overlapping coverage merges)
+    islands = flagged.withColumn(
+        "_new",
+        F.when(prev_max_fin.isNull() | (F.col("start") > prev_max_fin + 1), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("start").alias("span_start"),
+        F.max("fin").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_island")
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove flagged token spans from each document's text.
+
+    ``spans`` is duplicate_window_spans' output (1-based inclusive token
+    ranges).  Returns the input rows with ``text_col`` REPLACED by the
+    span-stripped text (surviving tokens re-joined with single spaces —
+    original inter-token whitespace is not preserved, matching the
+    split-tokenization granularity) plus ``n_tokens_removed``.  Documents
+    with no spans pass through unchanged (n_tokens_removed = 0).
+
+    All codegen: the per-doc span list rides a collect_list groupBy
+    (bounded by spans-per-doc, itself bounded by doc length), the token
+    filter is one exists() lambda per token — no Python, no driver.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    out = docs.join(sp, id_col, "left")
+    kept = F.expr(
+        f"filter(transform(split({text_col}, '\\\\s+'), (t, i) -> "
+        f"struct(t AS t, i + 1 AS i)), x -> NOT coalesce("
+        f"exists(_spans, sp -> x.i >= sp.span_start AND x.i <= sp.span_end), "
+        f"false))"
+    )
+    n_before = F.size(F.split(F.col(text_col), r"\s+"))
+    return out.withColumn("_kept", kept).select(
+        *[
+            F.expr(f"array_join(transform(_kept, x -> x.t), ' ')").alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in docs.columns
+        ],
+        (n_before - F.size("_kept")).cast("long").alias("n_tokens_removed"),
+    )

@@ -1439,3 +1439,107 @@ def text_c4_line_filter(spark, sf_dir):
         ).alias("t"),
     )
     return textstats.c4_line_filter(built, text_col="t")
+
+
+# -------------------------------------------------------------------------
+# Cross-corpus duplicate spans (Lee et al. 2022 exact-substring dedup)
+# -------------------------------------------------------------------------
+# Shared CTE chain: 5-token windows at stride 1, md5-hashed (identical hex
+# in both engines), duplicated windows flagged with the globally FIRST
+# occurrence (ordered by doc_id, start) exempted — keep_first policy —
+# then gaps-and-islands merges flagged windows into maximal spans.
+_DUP_SPAN_CTES = """
+tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(1, greatest(len(toks) - 5, 0) + 2)) AS INT) AS start
+  FROM tok WHERE len(toks) >= 5
+),
+hw AS (
+  SELECT doc_id, start,
+         md5(array_to_string(toks[start:start+4], ' ')) AS h
+  FROM win
+),
+hw2 AS (
+  SELECT doc_id, start,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+  FROM hw
+),
+flagged AS (
+  SELECT doc_id, start, start + 4 AS fin FROM hw2 WHERE n_occ >= 2 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, start, fin,
+         CASE WHEN start > COALESCE(MAX(fin) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM flagged
+),
+isl2 AS (
+  SELECT doc_id, start, fin,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(start) AS span_start, MAX(fin) AS span_end,
+         COUNT(*) AS n_windows
+  FROM isl2 GROUP BY doc_id, island
+)
+"""
+
+q_duplicate_spans_sql = f"""
+WITH {_DUP_SPAN_CTES}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+@q("text_duplicate_spans", q_duplicate_spans_sql,
+   "cross-corpus duplicate token-window spans (Lee et al. 2022 "
+   "exact-substring dedup, keep-first policy): 5-token md5 windows, "
+   "corpus-wide occurrence count, gaps-and-islands span merge; w=5 chosen "
+   "so the 31-word synthetic vocabulary witnesses ~1.1k duplicated windows "
+   "non-degenerately", driver=False)
+def text_duplicate_spans(spark, sf_dir):
+    return dedup.duplicate_window_spans(
+        T(spark, sf_dir, "documents"), window_tokens=5
+    )
+
+
+q_strip_duplicate_spans_sql = f"""
+WITH {_DUP_SPAN_CTES},
+tok_i AS (
+  SELECT doc_id, unnest(toks) AS t,
+         CAST(unnest(range(1, len(toks) + 1)) AS INT) AS i
+  FROM tok
+),
+kept AS (
+  SELECT ti.doc_id, ti.t, ti.i FROM tok_i ti
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = ti.doc_id
+                      AND ti.i BETWEEN s.span_start AND s.span_end)
+),
+clean AS (
+  SELECT doc_id, COALESCE(string_agg(t, ' ' ORDER BY i), '') AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(c.text, '') AS text, d.lang, d.source, d.n_chars,
+       len(regexp_split_to_array(d.text, '\\s+')) - COALESCE(c.n_kept, 0)
+           AS n_tokens_removed
+FROM documents d LEFT JOIN clean c USING (doc_id)
+"""
+
+
+@q("text_strip_duplicate_spans", q_strip_duplicate_spans_sql,
+   "span-stripped corpus: every repeated 5-token window's non-first "
+   "occurrence removed (tokens re-joined with single spaces); documents "
+   "with no spans pass through with n_tokens_removed=0", driver=False)
+def text_strip_duplicate_spans(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    spans = dedup.duplicate_window_spans(docs, window_tokens=5)
+    return dedup.strip_duplicate_spans(docs, spans)

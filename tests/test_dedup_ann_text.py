@@ -941,3 +941,108 @@ def test_c4_line_filter_stays_codegen(spark):
     plan = textstats.c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+# -------------------------------------------------------------------------
+# duplicate_window_spans / strip_duplicate_spans (exact-substring dedup)
+# -------------------------------------------------------------------------
+
+def _span_docs(spark):
+    # docs 1 and 2 share the verbatim 6-token boilerplate "all rights
+    # reserved by the corp"; doc 3 is clean; doc 4 is too short to window.
+    rows = [
+        (1, "intro text here all rights reserved by the corp and more tail"),
+        (2, "all rights reserved by the corp something else entirely here"),
+        (3, "nothing repeated in this document at all whatsoever"),
+        (4, "too short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_window_spans_keep_first_flags_repeats_only(spark):
+    spans = dedup.duplicate_window_spans(
+        _span_docs(spark), window_tokens=4
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    # first occurrence (min (doc_id, start) per window hash) is exempt:
+    # doc 1 holds every shared window's first occurrence, so only doc 2 is
+    # flagged, and its three overlapping 4-token windows merge into one
+    # maximal span covering tokens 1..6 ("all rights reserved by the corp").
+    assert 1 not in by_doc and 3 not in by_doc and 4 not in by_doc
+    assert by_doc[2] == [(1, 6, 3)]
+
+
+def test_duplicate_window_spans_flag_all_and_stride(spark):
+    spans = dedup.duplicate_window_spans(
+        _span_docs(spark), window_tokens=4, keep_first=False
+    ).collect()
+    docs_flagged = {r["doc_id"] for r in spans}
+    assert docs_flagged == {1, 2}
+    d1 = [r for r in spans if r["doc_id"] == 1][0]
+    # doc 1's copy sits at tokens 4..9
+    assert (d1["span_start"], d1["span_end"]) == (4, 9)
+    # stride=2 probes only odd starts: doc 1's copies sit at starts 4 and 6,
+    # which are NOT probed, so every probed hash is unique corpus-wide and
+    # nothing is flagged — the documented precision cost of stride > 1.
+    strided = dedup.duplicate_window_spans(
+        _span_docs(spark), window_tokens=4, stride=2, keep_first=False
+    ).collect()
+    assert strided == []
+    # shift doc 2 by one token so both copies land on probed (odd) starts:
+    # now stride=2 recovers the duplicate and the span still merges.
+    shifted = spark.createDataFrame(
+        [
+            (1, "intro text here all rights reserved by the corp and more tail"),
+            (2, "x all rights reserved by the corp something else here"),
+        ],
+        "doc_id long, text string",
+    )
+    strided2 = dedup.duplicate_window_spans(
+        shifted, window_tokens=4, stride=2, keep_first=False
+    ).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in strided2}
+    # probed duplicated hashes: doc1 starts {5} ("rights reserved by the"),
+    # doc2 starts {6} — stride-2 probing sees the SAME window text at odd
+    # starts in both docs only where alignment allows; assert both docs carry
+    # at least one span and each span covers a real 4-token window.
+    assert {d for d, *_ in got} == {1, 2}
+    assert all(e - s + 1 >= 4 for _, s, e in got)
+
+
+def test_strip_duplicate_spans_roundtrip(spark):
+    docs = _span_docs(spark)
+    spans = dedup.duplicate_window_spans(docs, window_tokens=4)
+    out = {r["doc_id"]: r for r in dedup.strip_duplicate_spans(docs, spans).collect()}
+    assert out[2]["text"] == "something else entirely here"
+    assert out[2]["n_tokens_removed"] == 6
+    # untouched docs pass through verbatim with zero removed
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[1]["text"].startswith("intro text here")
+    assert out[3]["n_tokens_removed"] == 0 and out[4]["n_tokens_removed"] == 0
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_duplicate_window_spans_validates_params(spark):
+    import pytest as _pytest
+
+    docs = _span_docs(spark)
+    with _pytest.raises(ValueError):
+        dedup.duplicate_window_spans(docs, window_tokens=0)
+    with _pytest.raises(ValueError):
+        dedup.duplicate_window_spans(docs, stride=0)
+    with _pytest.raises(ValueError):
+        dedup.duplicate_window_spans(docs, min_occurrences=1)
+
+
+def test_duplicate_window_spans_stays_codegen(spark):
+    plan = (
+        dedup.duplicate_window_spans(_span_docs(spark), window_tokens=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
