@@ -42,10 +42,15 @@ LEGS = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
 # pre-sprint control show a loaded window, mult drops 4 -> 2, bounding the
 # leg at ~2x the measured sprint wall.  0 disables explicitly.
 SUSTAINED_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAINED_MULT", "4"))
-# loaded-window thresholds for the adaptive multiplier: control > 1.1 s
-# (quiet-box control is ~0.95-1.0 s) or sprint min-leg > 60 s (quiet-box
-# min-leg at the default corpus is ~7-16 s)
-SUSTAINED_CTRL_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_CTRL_GATE", "1.1"))
+# loaded-window thresholds for the adaptive multiplier: control > 2.5 s
+# (quiet-box control is ~0.95-1.35 s across the boxes this build has seen;
+# genuinely loaded windows measure 3-30 s) or sprint min-leg > 60 s
+# (quiet-box min-leg at the default corpus is ~7-16 s).  The gate takes the
+# MIN of the pre- and post-sprint controls: round 6 found the FIRST control
+# in a session can carry a one-time 35-60 s JVM settling cost (full-GC of
+# the freshly-cached corpus + C2 tiering) even at load 0.03, which tripped
+# the old single-sample 1.1 s gate on every run.
+SUSTAINED_CTRL_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_CTRL_GATE", "2.5"))
 SUSTAINED_LEG_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LEG_GATE", "60"))
 # learned-scorer leg: score the SAME pairs through the fitted logistic model
 # (ML-pipeline path) so the model path has a throughput number alongside the
@@ -130,7 +135,13 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     # PRE-sprint control: calibrates the sustained multiplier and brackets
-    # the sprint window (the post-sprint control brackets the other side)
+    # the sprint window (the post-sprint control brackets the other side).
+    # One untimed warm-up first — the session's first control pays a
+    # one-time 35-60 s settling cost (full GC of the just-built caches +
+    # JIT tiering of the sha2 codegen) that is JVM lifecycle, not window
+    # load; timing it would poison the load gate (observed round 6 at
+    # load 0.03: first control 58.8 s, every later one 1.3 s)
+    _control()
     control_pre_sec = _control()
 
     # deadline-critical clock starts HERE: sprint -> sustained are the
@@ -177,7 +188,10 @@ def main() -> None:
         # adaptive multiplier (never a skip): a loaded window halves the
         # replication so the leg stays bounded at ~mult x min-leg wall
         eff_mult = SUSTAINED_MULT
-        if control_pre_sec > SUSTAINED_CTRL_GATE or score_sec > SUSTAINED_LEG_GATE:
+        if (
+            min(control_pre_sec, control_sec) > SUSTAINED_CTRL_GATE
+            or score_sec > SUSTAINED_LEG_GATE
+        ):
             eff_mult = max(2, SUSTAINED_MULT // 2)
         rep = spark.range(eff_mult).select(F.col("id").alias("_rep"))
 
@@ -191,16 +205,31 @@ def main() -> None:
         pairs_big = suffixed(pairs, ["left_id", "right_id"]).persist()
         n_big = pairs_big.count()
         docs_big.count()
-        t0 = time.time()
-        scored_big = score_pairs_rule(
-            pair_tfidf_cosine(pair_features(pairs_big, docs_big), docs_big)
-        )
-        _force(scored_big.select("left_id", "right_id", "score"))
-        sus_sec = time.time() - t0
+        # pass 1 is COLD: a brand-new plan over brand-new frames pays the
+        # per-plan fixed costs (TF-IDF doc-freq fit, broadcast builds,
+        # codegen JIT, Arrow worker spin-up) that a production job running
+        # for hours amortizes to nothing — round 6 measured cold/warm 7.7x
+        # on the identical plan at load 0.03.  A second, warm pass is the
+        # steady-state sustained rate; it runs whenever the critical
+        # section still fits the model deadline, and the headline sustained
+        # number prefers it (cold kept alongside).
+        sus_times = []
+        for _ in range(2):
+            t0 = time.time()
+            scored_big = score_pairs_rule(
+                pair_tfidf_cosine(pair_features(pairs_big, docs_big), docs_big)
+            )
+            _force(scored_big.select("left_id", "right_id", "score"))
+            sus_times.append(time.time() - t0)
+            if time.time() - t_critical_start > MODEL_DEADLINE:
+                break
+        sus_sec = min(sus_times)
         sustained = {
             "n_pairs": n_big,
             "sec": round(sus_sec, 3),
             "pairs_per_sec": round(n_big / sus_sec, 1) if sus_sec > 0 else 0.0,
+            "cold_sec": round(sus_times[0], 3),
+            "warm_sec": round(sus_times[1], 3) if len(sus_times) > 1 else None,
             "mult": eff_mult,
             "mult_configured": SUSTAINED_MULT,
             "mult_reduced_by_load": eff_mult != SUSTAINED_MULT,
