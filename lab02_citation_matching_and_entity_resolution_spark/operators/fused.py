@@ -153,16 +153,28 @@ def fused_scored_pairs(
     for pass_name, keyed, m in _keyed_passes(docs, cfg):
         metrics_parts.append(m)
         # l side ships terms+weights (fold iterates the left vector), r side
-        # ships the lookup map — neither side carries the other's tfidf shape
+        # ships the lookup map — neither side carries the other's tfidf shape.
+        # shuffle_hash hints on every join: the default SortMergeJoin SORTS
+        # the payload-enriched membership rows (~7 KB each) — an external
+        # sort whose allocation/memcpy traffic is the shared-bandwidth wall
+        # this box measures (BENCH/cpu_scaling.py alloc leg); hashing the
+        # bounded per-partition build side skips the sort entirely, the same
+        # reasoning as pair_features' hints (features.py)
         l = keyed.select(F.col("conv_id").alias("left_id"), "block_key").join(
-            prefixed_payload(pay, "l", "left_id", extra_cols=["terms", "weights"]),
+            prefixed_payload(pay, "l", "left_id", extra_cols=["terms", "weights"]).hint(
+                "shuffle_hash"
+            ),
             "left_id",
         )
         r = keyed.select(F.col("conv_id").alias("right_id"), "block_key").join(
-            prefixed_payload(pay, "r", "right_id", extra_cols=["vec"]),
+            prefixed_payload(pay, "r", "right_id", extra_cols=["vec"]).hint(
+                "shuffle_hash"
+            ),
             "right_id",
         )
-        joined = l.join(r, "block_key").where(F.col("left_id") < F.col("right_id"))
+        joined = l.join(r.hint("shuffle_hash"), "block_key").where(
+            F.col("left_id") < F.col("right_id")
+        )
         feat = with_pair_feature_columns(joined).withColumn(
             "tfidf_cosine", F.coalesce(F.expr(_TFIDF_DOT), F.lit(0.0))
         )
