@@ -122,9 +122,25 @@ def signature_pass(docs: DataFrame, cfg: BlockingConfig) -> DataFrame:
     return _self_join_pairs(capped, "signature"), metrics
 
 
-def shingle_expr_on(col: F.Column, n: int) -> F.Column:
-    """Distinct char n-grams of an arbitrary string Column (see shingle_expr)."""
-    cleaned = F.regexp_replace(F.lower(col), r"\s+", "")
+def clean_for_shingles(col: F.Column) -> F.Column:
+    """The shingler's text canonicalization: lowercase, all whitespace removed."""
+    return F.regexp_replace(F.lower(col), r"\s+", "")
+
+
+def shingle_expr_cleaned(cleaned: F.Column, n: int) -> F.Column:
+    """Distinct char n-grams of an ALREADY-cleaned (clean_for_shingles) column.
+
+    Callers should materialize the cleaned text as a named column in a
+    separate projection and pass the attribute here: expressions inside a
+    higher-order-function lambda are re-evaluated PER ELEMENT, so inlining
+    the regexp_replace(lower(...)) subtree into the lambda re-runs the
+    whitespace regexp once per shingle position (~250x per doc per n).
+    Measured on the round-7 probe: doc_payload's three shingle sets cost
+    5.7 s/eval at 18.5k docs with the inlined subtree vs ~0.8 s against a
+    materialized attribute.  CollapseProject keeps the two projections
+    separate because the cleaned column is expensive and multiply
+    referenced (SPARK-36718), so no shuffle or barrier is needed.
+    """
     return F.when(
         F.length(cleaned) >= n,
         F.array_distinct(
@@ -134,6 +150,15 @@ def shingle_expr_on(col: F.Column, n: int) -> F.Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_expr_on(col: F.Column, n: int) -> F.Column:
+    """Distinct char n-grams of an arbitrary string Column (see shingle_expr).
+
+    NOTE: inlines the cleaning into the lambda — O(text) work per shingle
+    position.  Hot paths should materialize clean_for_shingles(col) once and
+    use shingle_expr_cleaned (see its docstring)."""
+    return shingle_expr_cleaned(clean_for_shingles(col), n)
 
 
 def shingle_expr(text_col: str, n: int) -> F.Column:
@@ -170,7 +195,11 @@ def minhash_pass(docs: DataFrame, cfg: BlockingConfig) -> tuple[DataFrame, DataF
     # ~10-30x fewer than char shingles — the explode volume (rows x hashes)
     # drops accordingly.  Char-shingle minhash remains in dedup.py where
     # sub-token granularity matters.
-    exploded = docs.select("conv_id", F.explode("tokens").alias("tok"))
+    # array_distinct before the explode: min() is duplicate-invariant, so
+    # the signatures are IDENTICAL while the exploded row count (each row
+    # pays n_hashes xxhash64 evals in the partial agg) drops by the per-doc
+    # token repetition factor (guide §2.3: aggregate before you shuffle)
+    exploded = docs.select("conv_id", F.explode(F.array_distinct("tokens")).alias("tok"))
     sigs = exploded.groupBy("conv_id").agg(
         *[
             F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")

@@ -31,7 +31,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .blocking import shingle_expr
+from .blocking import clean_for_shingles, shingle_expr_cleaned  # noqa: F401 (re-export compat)
 
 CAP_METRICS_SCHEMA = "block_key string, block_size long, cap int, rows_dropped long"
 
@@ -165,9 +165,18 @@ def ngram_jaccard_pairs(
     discarded). At 100 TB, prefer finer caller-supplied blocks (LSH band,
     fingerprint prefix) over raising the cap.
     """
-    sh = fan_out_narrow_input(docs).select(
-        *block_cols, F.col(id_col), shingle_expr(text_col, n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = (
+        fan_out_narrow_input(docs)
+        .select(
+            *block_cols, F.col(id_col),
+            clean_for_shingles(F.col(text_col)).alias("_shclean"),
+        )
+        .select(
+            *block_cols, F.col(id_col),
+            shingle_expr_cleaned(F.col("_shclean"), n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
     metrics = None
     if block_cap is not None:
         sh, metrics = _cap_block(sh, list(block_cols), id_col, block_cap, cap_seed)
@@ -204,8 +213,16 @@ def minhash_signatures(
     oracle parity); hash_fn="xxhash64" is ~10x cheaper and is what the ER
     blocking hot path uses.
     """
-    exploded = fan_out_narrow_input(docs).select(
-        F.col(id_col), F.explode(shingle_expr(text_col, shingle_n)).alias("sh")
+    # materialize the cleaned text before the shingle lambda: inlining the
+    # regexp into the lambda re-runs it per shingle position (see
+    # blocking.shingle_expr_cleaned; round-7 probe measured ~7x on the
+    # identical pattern in doc_payload).  Values are byte-identical.
+    cleaned = fan_out_narrow_input(docs).select(
+        F.col(id_col), clean_for_shingles(F.col(text_col)).alias("_shclean")
+    )
+    exploded = cleaned.select(
+        F.col(id_col),
+        F.explode(shingle_expr_cleaned(F.col("_shclean"), shingle_n)).alias("sh"),
     )
     if hash_fn == "md5":
         aggs = [F.min(_md5_i64(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)]

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from .blocking import shingle_expr, shingle_expr_on
+from .blocking import shingle_expr
 
 YEAR_DIFF_SENTINEL = 100  # ref: src/feature_engineering_utils.py:198
 
@@ -292,12 +292,27 @@ def doc_payload(docs: DataFrame) -> DataFrame:
     pair rows at ~4 KB compressed each (21.9 GB shuffle for 5.5M pairs), and
     the text was a leading term.
     """
-    npfx = F.substring("doc_text", 1, NGRAM_PREFIX_CAP)
+    from .blocking import clean_for_shingles, shingle_expr_cleaned
 
     def hashed(arr: Column) -> Column:
         return F.transform(arr, lambda s: F.xxhash64(s))
 
-    return docs.select(
+    # Three-stage projection (the stages stay separate — CollapseProject
+    # does not inline expensive, multiply-referenced aliases, SPARK-36718):
+    #   1. materialize the cleaned shingle text ONCE (expressions inside a
+    #      HOF lambda are re-evaluated per element, so inlining the regexp
+    #      into the shingle lambda costs O(text) per shingle position —
+    #      measured 5.7 s/eval -> ~0.8 s at 18.5k docs, round-7 probe);
+    #   2. build each raw distinct-shingle array once;
+    #   3. hash it and take its size (nsh == size of the hashed array —
+    #      transform preserves cardinality).
+    cleaned = docs.select(
+        "*", clean_for_shingles(F.substring("doc_text", 1, NGRAM_PREFIX_CAP)).alias("_shclean")
+    )
+    shingled = cleaned.select(
+        "*", *[shingle_expr_cleaned(F.col("_shclean"), n).alias(f"_shr{n}") for n in (3, 4, 5)]
+    )
+    return shingled.select(
         F.col("conv_id"),
         F.xxhash64("doc_text").alias("text_sig"),
         F.length("doc_text").alias("text_len"),
@@ -307,8 +322,8 @@ def doc_payload(docs: DataFrame) -> DataFrame:
         F.concat(F.col("roles"), F.col("tools")).alias("sig"),
         F.col("tools").alias("tools"),
         F.col("year_like").alias("year"),
-        *[hashed(shingle_expr_on(npfx, n)).alias(f"sh{n}") for n in (3, 4, 5)],
-        *[F.size(shingle_expr_on(npfx, n)).alias(f"nsh{n}") for n in (3, 4, 5)],
+        *[hashed(F.col(f"_shr{n}")).alias(f"sh{n}") for n in (3, 4, 5)],
+        *[F.size(F.col(f"_shr{n}")).alias(f"nsh{n}") for n in (3, 4, 5)],
     )
 
 
@@ -325,20 +340,33 @@ def prefixed_payload(
     )
 
 
-def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def pair_features(
+    pairs: DataFrame,
+    docs: DataFrame,
+    attach_tfidf: bool = True,
+    tfidf_scope_cols: tuple[str, ...] | None = None,
+    persist_payload: bool = True,
+) -> DataFrame:
     """Attach the full feature vector to candidate pairs.
 
     ``pairs``: (left_id, right_id, ...); ``docs``: assemble_documents output.
     Two shuffle joins on conv_id recover both sides' document attributes; all
     features are computed pipeline-local after the joins (no extra shuffle).
 
-    NOTE the second join re-shuffles the l-enriched pair rows (~4 KB each) —
-    at many pairs/doc that replication dominates the stage shuffle.  The
-    production hot path is fused.fused_scored_pairs, which computes the same
-    features at block-self-join time (each doc's payload ships once per
-    block, never per pair) and is pinned bit-identical to this path; this
-    two-join form remains the reference implementation and the right shape
-    when the caller already has an arbitrary (not block-derived) pair list.
+    The payload now also carries each doc's GLOBAL-scope TF-IDF vector
+    (l_terms/l_weights on the left side, r_vec lookup map on the right), so
+    pair_tfidf_cosine can compute the cosine from these columns WITHOUT its
+    own two joins: the classic 4-exchange chain (two payload joins + two
+    vector joins, each re-shuffling the heavy pair rows) becomes 2 exchanges
+    (round-7: the vector joins were +15 s of the 56 s all-features wall at
+    861k pairs).  Callers that never compute the cosine lose nothing: the
+    vector columns are projection-pruned out of the joins unless consumed.
+
+    NOTE the second join still re-shuffles the l-enriched pair rows — the
+    production hot path is fused.fused_scored_pairs, which ships payload
+    per block membership, never per pair; this two-join form remains the
+    right shape when the caller has an arbitrary (not block-derived) pair
+    list.
     """
     # shuffle_hash hint on the DOC sides: by construction candidates >> docs,
     # and the enriched pair rows are heavy (~750 hashed longs of shingle
@@ -350,9 +378,37 @@ def pair_features(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # 5.5M pairs.  The build side per task is docs_rows/shuffle_partitions x
     # ~12 KB — trivially in-memory at any realistic partitioning.
     pay = doc_payload(docs)
+    # vectors ride along only for the global fit (the hot-path default);
+    # a scoped fit (tfidf_scope_cols) or attach_tfidf=False skips the maps
+    # join entirely and pair_tfidf_cosine falls back to its own joins
+    ship_tfidf = attach_tfidf and tfidf_scope_cols is None
+    l_extra, r_extra = [], []
+    if ship_tfidf:
+        from .tfidf import doc_tfidf_maps
+
+        # left join: token-less docs keep NULL vectors; the cosine coalesces
+        # them to 0.0 — identical semantics to pair_tfidf_cosine's left joins
+        pay = pay.join(doc_tfidf_maps(docs), "conv_id", "left")
+        l_extra, r_extra = ["terms", "weights"], ["vec"]
+    if persist_payload:
+        # one materialization feeds BOTH join sides.  Without it, column
+        # pruning projects the l side to (payload, terms, weights) and the
+        # r side to (payload, vec) BELOW their exchanges, the two subplans
+        # stop being equal, ReuseExchange cannot fire, and the whole
+        # doc-side payload+TF-IDF pipeline (4 aggregations + join) runs
+        # TWICE as ~15 serialized AQE query stages (round-7 event-log
+        # capture: 2-9 s per stage on the 4x corpus).  Same discipline and
+        # same caveat as fused_scored_pairs' persist_payload: disable for
+        # corpora where the per-doc payload exceeds executor storage (the
+        # recompute is correct, just slower).
+        pay = pay.persist()
     joined = pairs.join(
-        prefixed_payload(pay, "l", "left_id").hint("shuffle_hash"), "left_id"
-    ).join(prefixed_payload(pay, "r", "right_id").hint("shuffle_hash"), "right_id")
+        prefixed_payload(pay, "l", "left_id", extra_cols=l_extra).hint("shuffle_hash"),
+        "left_id",
+    ).join(
+        prefixed_payload(pay, "r", "right_id", extra_cols=r_extra).hint("shuffle_hash"),
+        "right_id",
+    )
     return with_pair_feature_columns(joined)
 
 

@@ -98,7 +98,11 @@ def _keyed_passes(docs: DataFrame, cfg: BlockingConfig):
         out.append(("signature", capped, m.withColumn("block_pass", F.lit("signature"))))
     if "minhash" in cfg.passes and cfg.minhash_enabled:
         n_hashes = cfg.minhash_tables * cfg.minhash_rows
-        exploded = docs.select("conv_id", F.explode("tokens").alias("tok"))
+        # array_distinct: min() is duplicate-invariant — identical
+        # signatures, fewer exploded rows (same change as blocking.minhash_pass)
+        exploded = docs.select(
+            "conv_id", F.explode(F.array_distinct("tokens")).alias("tok")
+        )
         sigs = exploded.groupBy("conv_id").agg(
             *[
                 F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")

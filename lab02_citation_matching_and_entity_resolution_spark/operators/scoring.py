@@ -390,10 +390,26 @@ def feature_importance_table(spark, model, model_family: str = "rf") -> DataFram
 
 
 def score_pairs_logistic(model, feat: DataFrame) -> DataFrame:
-    """Attach model_score = P(match) from the fitted pipeline."""
+    """Attach model_score = P(match) from the fitted pipeline.
+
+    Logistic pipelines score through the pure-column sigmoid (broadcast
+    weights — the M6 fast path): P(match) for binary logistic regression IS
+    sigmoid(X.w + b), so this is the same number without VectorAssembler /
+    vector-UDT construction per row (parity < 1e-9 unrounded, pinned by
+    tests/test_model_scoring.py::test_sigmoid_fast_path_matches_ml_pipeline).
+    Non-logistic pipelines (RandomForest — no closed column form) keep the
+    ML transform path.
+    """
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    filled = feat.na.fill(0, subset=FEATURE_COLS)
+    if isinstance(getattr(model, "stages", [None])[-1], LogisticRegressionModel):
+        w, b = logistic_weights_scorer(model)
+        return filled.withColumn("model_score", F.round(sigmoid_score_col(w, b), 6))
+
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(feat.na.fill(0, subset=FEATURE_COLS))
+    scored = model.transform(filled)
     return scored.withColumn(
         "model_score", F.round(vector_to_array("probability")[1], 6)
     ).drop("fvec", "rawPrediction", "probability", "prediction")

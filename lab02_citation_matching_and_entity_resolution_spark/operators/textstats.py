@@ -153,15 +153,20 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min-k md5 hashes of 8-gram
     shingles, concatenated — stable content signature for clustering."""
-    from .blocking import shingle_expr
+    from .blocking import clean_for_shingles, shingle_expr_cleaned
 
-    sh = shingle_expr(text_col, 8)
+    # staged projections: cleaned text, then the shingle array, are real
+    # columns so no HOF lambda re-evaluates an expensive subtree per element
+    # (see blocking.shingle_expr_cleaned) — byte-identical output
+    staged = docs.select(
+        F.col(id_col), clean_for_shingles(F.col(text_col)).alias("_shclean")
+    ).select(id_col, shingle_expr_cleaned(F.col("_shclean"), 8).alias("_sh"))
     # md5-derived 60-bit ints: identical in DuckDB (engine-portable oracle)
     hashed = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        F.col("_sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
     mink = F.slice(F.array_sort(hashed), 1, k)
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         F.md5(F.concat_ws(",", F.transform(mink, lambda x: x.cast("string")))).alias(
             "fingerprint"
@@ -209,11 +214,13 @@ def _words_col(text_col: str) -> F.Column:
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
 
 
-def word_ngrams_col(text_col: str, n: int) -> F.Column:
-    """Distinct-preserving word n-grams of a text column (space-joined),
-    empty array when the doc has fewer than n words.  Native transform over
-    sequence — the word-level analogue of blocking.shingle_expr."""
-    toks = _words_col(text_col)
+def word_ngrams_on(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams of a MATERIALIZED token-array column (see word_ngrams_col).
+
+    Callers must pass an attribute, not an expression tree: the slice lambda
+    re-evaluates its input per n-gram position, so an inlined split+filter
+    subtree costs O(words) per position — quadratic in document length
+    (the round-7 probe measured the same pathology 7x on char shingles)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -221,6 +228,17 @@ def word_ngrams_col(text_col: str, n: int) -> F.Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_col(text_col: str, n: int) -> F.Column:
+    """Distinct-preserving word n-grams of a text column (space-joined),
+    empty array when the doc has fewer than n words.  Native transform over
+    sequence — the word-level analogue of blocking.shingle_expr.
+
+    NOTE: inlines the tokenization into the slice lambda (O(words) per
+    position).  Hot paths should materialize _words_col as a column and use
+    word_ngrams_on."""
+    return word_ngrams_on(_words_col(text_col), n)
 
 
 def repetition_stats(
@@ -246,10 +264,18 @@ def repetition_stats(
         F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
-    grams = word_ngrams_col(text_col, ngram_n)
-    base = fan_out_narrow_input(docs).select(
+    # words materialized BEFORE the n-gram transform: an inlined split+filter
+    # subtree is re-evaluated per n-gram position inside the slice lambda —
+    # quadratic in document length (see word_ngrams_on)
+    staged = fan_out_narrow_input(docs).select(
         F.col(id_col),
+        F.col(text_col),
         _words_col(text_col).alias("_w"),
+    )
+    grams = word_ngrams_on(F.col("_w"), ngram_n)
+    base = staged.select(
+        F.col(id_col),
+        F.col("_w"),
         F.size(lines).alias("n_lines"),
         F.when(F.size(lines) > 0,
                1.0 - F.size(F.array_distinct(lines)) / F.size(lines))
@@ -302,12 +328,19 @@ def decontaminate(
     """
     from .dedup import fan_out_narrow_input
 
+    # token arrays materialized before the n-gram lambda on BOTH sides (see
+    # word_ngrams_on: an inlined tokenization subtree re-splits the text per
+    # n-gram position — quadratic in document length)
     doc_grams = fan_out_narrow_input(docs).select(
+        F.col(id_col), _words_col(text_col).alias("_w")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("g"),
+        F.explode(F.array_distinct(word_ngrams_on(F.col("_w"), n))).alias("g"),
     )
     bench_grams = benchmark.select(
-        F.explode(F.array_distinct(word_ngrams_col(bench_text_col, n))).alias("g")
+        _words_col(bench_text_col).alias("_w")
+    ).select(
+        F.explode(F.array_distinct(word_ngrams_on(F.col("_w"), n))).alias("g")
     ).distinct()
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)

@@ -71,11 +71,18 @@ def doc_tfidf_vectors(
     else:
         terms = docs.select("conv_id", F.explode(token_col).alias("term"))
         tf = terms.groupBy("conv_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-        n_docs = docs.select(F.countDistinct("conv_id").alias("n")).collect()[0]["n"]
+        # n_docs as a broadcast scalar, not a driver collect: the collect ran
+        # a blocking job at PLAN BUILD time, serializing ~0.5 s ahead of
+        # every leg that fits a global IDF (guide §5: the driver should do
+        # no data work).  cast to double matches float(n_docs) bit-for-bit,
+        # so idf values are unchanged (a7 oracle parity).
+        n_frame = docs.agg(
+            F.countDistinct("conv_id").cast("double").alias("_n_docs")
+        )
         df = tf.groupBy("term").agg(F.countDistinct("conv_id").alias("df"))
-        idf = df.select(
+        idf = df.crossJoin(F.broadcast(n_frame)).select(
             "term",
-            (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+            (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
         )
         w = tf.join(idf, "term").select(
             "conv_id", "term", (F.col("tf") * F.col("idf")).alias("w")
@@ -133,6 +140,25 @@ def pair_tfidf_cosine(
 
     — zero extra shuffle, O(terms) per pair, whole-stage codegen.
     """
+    dot = F.expr(
+        "aggregate(zip_with(l_terms, l_weights,"
+        " (t, w) -> w * coalesce(element_at(r_vec, t), 0D)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    # Zero-join fast path: pair_features already ships each side's
+    # GLOBAL-scope vector through its payload joins (l_terms/l_weights/
+    # r_vec), so the cosine is a pipelined map-lookup fold — no exchange at
+    # all.  The classic chain drops from 4 shuffles of the heavy pair rows
+    # to 2 (round-7: the two vector joins were +15 s of the 56 s
+    # all-features wall at 861k pairs).  Only valid for the global fit —
+    # a scoped fit must rebuild the vectors, so it takes the join path.
+    if scope_cols is None and {"l_terms", "l_weights", "r_vec"}.issubset(
+        set(pairs.columns)
+    ):
+        return pairs.withColumn(
+            "tfidf_cosine", F.coalesce(dot, F.lit(0.0))
+        ).drop("l_terms", "l_weights", "r_vec")
+
     tw = doc_tfidf_maps(docs, scope_cols=scope_cols)
     l = tw.select(
         F.col("conv_id").alias("left_id"),
@@ -140,11 +166,9 @@ def pair_tfidf_cosine(
         F.col("weights").alias("l_weights"),
     )
     r = tw.select(F.col("conv_id").alias("right_id"), F.col("vec").alias("r_vec"))
-    dot = F.expr(
-        "aggregate(zip_with(l_terms, l_weights,"
-        " (t, w) -> w * coalesce(element_at(r_vec, t), 0D)),"
-        " 0D, (acc, x) -> acc + x)"
-    )
+    # a caller-supplied frame may already carry (stale-scope) vector
+    # columns — drop them so the join below binds unambiguous names
+    pairs = pairs.drop("l_terms", "l_weights", "r_vec")
     # shuffle_hash: build the small per-doc vector side, stream the pair
     # side unsorted — the pair rows upstream of this join already carry the
     # full feature payload, and SortMergeJoin would sort them twice more

@@ -261,7 +261,8 @@ def attach_labels(
         from ..operators.features import pair_features
 
         miss_feat = (
-            pair_features(missing, docs)
+            # no cosine is computed for these rows — don't ship vectors
+            pair_features(missing, docs, attach_tfidf=False)
             .withColumn("unblocked", F.lit(1))
             .withColumn("zero_filled", F.lit(0))
         )

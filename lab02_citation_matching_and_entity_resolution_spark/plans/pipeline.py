@@ -104,7 +104,7 @@ def run_pipeline(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> P
         pairs = scored.select("left_id", "right_id", "block_passes")
     else:
         pairs, block_metrics = candidate_pairs(docs, cfg.blocking)
-        feat = pair_features(pairs, docs)
+        feat = pair_features(pairs, docs, tfidf_scope_cols=cfg.tfidf_scope_cols)
         feat = pair_tfidf_cosine(feat, docs, scope_cols=cfg.tfidf_scope_cols)
         scored = score_pairs_rule(feat).persist()
 

@@ -159,9 +159,16 @@ def test_pair_feature_joins_use_shuffled_hash_not_sort_merge(spark):
     pairs = docs.select(F.col("conv_id").alias("left_id")).crossJoin(
         docs.select(F.col("conv_id").alias("right_id"))
     ).limit(10)
-    plan = _plan(pair_tfidf_cosine(pair_features(pairs, docs), docs))
+    feat = pair_features(pairs, docs)
+    plan = _plan(pair_tfidf_cosine(feat, docs))
     tree = plan.split("\n\n")[0]
-    # the four PAIR-level joins (2 feature sides + 2 tfidf sides) must hash,
-    # not sort-merge; doc-side joins inside tfidf vector building (doc x term
-    # rows, tiny) may keep SMJ
-    assert tree.count("ShuffledHashJoin") >= 4, tree
+    # the two PAIR-level joins (l/r payload sides, which since round 7 also
+    # carry the TF-IDF vectors) must hash, not sort-merge; doc-side joins
+    # inside tfidf vector building (doc x term rows, tiny) may keep SMJ
+    assert tree.count("ShuffledHashJoin") >= 2, tree
+    # round-7 invariant: the cosine is computed from the vectors the payload
+    # joins already shipped — pair_tfidf_cosine adds NO join and NO exchange
+    # on top of the feature frame (4 pair-row shuffles -> 2)
+    feat_tree = _plan(feat).split("\n\n")[0]
+    for op in ("ShuffledHashJoin", "SortMergeJoin", "Exchange"):
+        assert tree.count(op) == feat_tree.count(op), (op, tree)
