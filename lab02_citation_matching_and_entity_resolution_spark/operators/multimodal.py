@@ -118,16 +118,31 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def asset_near_dup(
-    assets: DataFrame, threshold: float = 0.95
+    assets: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 64,
+    refine_rounds: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Multimodal face of the dedup suite: returns (exact, near).
 
     exact — byte-identical payload groups (content_hash groupBy, min-id
     keeper, same contract as dedup.exact_dedup); near — feature-cosine
-    near-duplicates within each ``kind`` block via dedup.embedding_near_dup
-    over the extracted feature vectors.  Composes the binary plumbing with
-    the text-corpus dedup operators unchanged — at scale the feature column
+    near-duplicates within (kind, IVF cell) blocks via
+    dedup.embedding_near_dup.  Composes the binary plumbing with the
+    text-corpus dedup operators unchanged — at scale the feature column
     comes from a real decoder+model, everything downstream is identical.
+
+    Blocking is (kind, cell_id), the same seed/refine/assign IVF
+    composition the dedup pipeline uses for text embeddings
+    (plans/dedup_pipeline.py "embedding" pass): blocking on ``kind`` alone
+    put every image in ONE block — the O(n^2)-per-modality cross product
+    embedding_near_dup itself refuses to run implicitly (round-6 verdict
+    finding #4).  ``n_cells`` bounds the quadratic term to
+    O((n/n_cells)^2 * n_cells) per kind; identical payloads always share a
+    cell (identical vectors), and near-dup pairs straddling a cell boundary
+    are the documented n_probe=1 recall trade — audit with
+    ann.ivf_recall_audit, as the dedup pipeline does.  ``n_cells=1``
+    restores the exhaustive per-kind scan for small verification sets.
 
     Both outputs are LAZY plans over the same extract_features frame; a
     caller materializing both should persist the feature frame itself
@@ -135,6 +150,7 @@ def asset_near_dup(
     that) — persisting here would pin executor storage with no handle for
     the caller to release.
     """
+    from .ann import assign_cells, refine_centroids, seed_centroids
     from .dedup import embedding_near_dup
 
     feats = extract_features(assets)
@@ -146,15 +162,29 @@ def asset_near_dup(
             F.count(F.lit(1)).alias("group_size"),
         )
     )
-    near = embedding_near_dup(
-        feats.where(F.col("feature").isNotNull()).select(
-            F.col("asset_id").alias("vec_id"),
-            F.col("kind"),
-            F.col("feature").cast("array<double>").alias("embedding"),
-        ),
-        threshold=threshold,
-        block_expr=F.col("kind"),
+    emb = feats.where(F.col("feature").isNotNull()).select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("kind"),
+        F.col("feature").cast("array<double>").alias("embedding"),
     )
+    if n_cells > 1:
+        cents = seed_centroids(emb, n_cells, id_col="vec_id", vec_col="embedding")
+        if refine_rounds:
+            cents = refine_centroids(
+                emb, cents, rounds=refine_rounds, id_col="vec_id",
+                vec_col="embedding",
+            )
+        assigned = assign_cells(
+            emb, cents, id_col="vec_id", vec_col="embedding", n_probe=1,
+            out_id="vec_id",
+        )
+        # assign_cells projects to (vec_id, embedding, cell_id); kind rides
+        # back in via its id — a slim join, no payload
+        emb = assigned.join(emb.select("vec_id", "kind"), "vec_id")
+        block = F.concat_ws("#", F.col("kind"), F.col("cell_id").cast("string"))
+    else:
+        block = F.col("kind")
+    near = embedding_near_dup(emb, threshold=threshold, block_expr=block)
     return exact, near
 
 

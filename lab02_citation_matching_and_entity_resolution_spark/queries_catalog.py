@@ -360,16 +360,20 @@ def a5_sum_rollups(spark, sf_dir):
 )
 def a6_doc_freq_idf(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs as a broadcast scalar: docs.count() was an EXTRA full scan of
+    # documents run eagerly at plan-build time; cast("double") matches
+    # float(n) bit-for-bit so the rounded idf (and the oracle hash) is
+    # unchanged (round-7; guide §5 — no driver-side data work)
+    n_frame = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
         F.col("term") != ""
     )
     dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    return dfreq.select(
+    return dfreq.crossJoin(F.broadcast(n_frame)).select(
         "term",
         "df",
         F.round(
-            F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + 1.0, 6
+            F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("df"))) + 1.0, 6
         ).alias("idf"),
     )
 

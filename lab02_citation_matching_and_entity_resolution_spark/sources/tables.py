@@ -263,6 +263,83 @@ class TableStore:
         result = keep.unionByName(df).localCheckpoint(eager=True)
         self.overwrite_partitions(result, name, [partition_col])
 
+    def replace_groups_partitioned(
+        self,
+        df: DataFrame,
+        name: str,
+        group_col: str,
+        partition_col: str,
+        extra_partition_vals: tuple = (),
+    ):
+        """Replace EVERY row of each ``group_col`` value present in ``df``,
+        rewriting only the touched ``partition_col`` partitions.
+
+        The upsert variant for indexes whose partition column is NOT a
+        function of the merge key: an LSH band index bucketed by band-key
+        hash re-signs a conversation into buckets its OLD rows may not
+        occupy, so key-equality within the new rows' partitions cannot find
+        them.  The caller locates the old rows' partitions (bounded work —
+        recompute the group's previous band keys) and passes them as
+        ``extra_partition_vals``; all rows of the touched groups inside the
+        touched partitions are dropped, then ``df`` is inserted.  Replay of
+        the same ``df`` converges (the rewrite is idempotent per group).
+
+        Parquet: read touched partitions, anti-join on ``group_col``,
+        union, localCheckpoint (sever lineage from files being replaced),
+        dynamic-partition overwrite.  Iceberg: partition-pruned DELETE of
+        the touched groups, then append — two transactions; a crash between
+        them loses the groups' rows until the streaming caller's batch
+        replay re-runs both (documented crash window, same convergence
+        argument as merge_upsert_partitioned's partial overwrite).
+        """
+        vals = sorted(
+            {r[0] for r in df.select(partition_col).distinct().collect()}
+            | set(extra_partition_vals),
+            key=str,
+        )
+        _check_partition_values(vals, partition_col)
+        from pyspark.sql.functions import col
+
+        if self._use_iceberg():
+            if not self.exists(name):
+                (
+                    df.writeTo(f"{self.catalog}.{name}")
+                    .using("iceberg")
+                    .partitionedBy(col(partition_col))
+                    .create()
+                )
+                return
+            view = f"_replace_src_{name}"
+            df.createOrReplaceTempView(view)
+            lits = ", ".join(_sql_literal(v) for v in vals)
+            self.spark.sql(
+                f"DELETE FROM {self.catalog}.{name} "
+                f"WHERE {partition_col} IN ({lits}) "
+                f"AND {group_col} IN (SELECT {group_col} FROM {view})"
+            )
+            df.writeTo(f"{self.catalog}.{name}").append()
+            return
+        if not self.exists(name):
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(self._path(name))
+            return
+        existing = self.read(name).where(col(partition_col).isin(vals))
+        keep = existing.join(df.select(group_col).distinct(), group_col, "left_anti")
+        result = keep.unionByName(df).localCheckpoint(eager=True)
+        # dynamic overwrite only rewrites partitions PRESENT in result — a
+        # touched partition whose only rows belonged to the replaced groups
+        # comes out empty and would silently keep its old file; drop it
+        # explicitly (bounded: one directory per touched-and-now-empty value)
+        present = {r[0] for r in result.select(partition_col).distinct().collect()}
+        if present:
+            self.overwrite_partitions(result, name, [partition_col])
+        import shutil
+
+        for v in vals:
+            if v not in present:
+                d = os.path.join(self._path(name), f"{partition_col}={v}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]):
         """Replace only the partitions present in ``df`` — the resume
         substrate (Iceberg overwritePartitions / dynamic parquet overwrite)."""

@@ -1046,3 +1046,26 @@ def test_duplicate_window_spans_stays_codegen(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_duplicate_window_spans_xxhash64_matches_md5(spark):
+    """hash_fn="xxhash64" (production: 8-byte window keys, ~4x less shuffle
+    than the 32-hex md5 the DuckDB oracle needs) must produce the identical
+    span set — the hash only keys the occurrence count."""
+    docs = _span_docs(spark)
+    md5_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.duplicate_window_spans(docs, window_tokens=4).collect()
+    )
+    xx_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.duplicate_window_spans(
+            docs, window_tokens=4, hash_fn="xxhash64"
+        ).collect()
+    )
+    assert md5_spans == xx_spans and md5_spans
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        dedup.duplicate_window_spans(docs, hash_fn="sha9")

@@ -51,3 +51,33 @@ def test_asset_near_dup_exact_and_cosine(spark):
     pairs = {(r["left_id"], r["right_id"]): r["cosine"] for r in near.collect()}
     assert pairs[("a0000", "a9999")] == 1.0
     assert len(pairs) == 1  # distinct sha-derived features are near-orthogonal
+
+
+def test_asset_near_dup_blocks_on_ivf_cells_not_kind_alone(spark):
+    """An n>cap single-kind corpus must NOT become one kind-wide cross
+    product (round-6 verdict finding #4): the near side blocks on
+    (kind, IVF cell).  Pinned two ways: the block expression carries
+    cell_id (a regression to kind-only blocking drops it from the plan),
+    and a planted byte-identical pair — identical vectors, therefore the
+    same cell — is still found through the cell blocking."""
+    from pyspark.sql import functions as F
+
+    from lab02_citation_matching_and_entity_resolution_spark.operators.multimodal import (
+        asset_near_dup,
+    )
+
+    assets = synthetic_assets(spark, n=60)
+    dup = assets.where(F.col("asset_id") == "a0003").select(
+        F.lit("a9999").alias("asset_id"), "kind", "payload",
+        "media_type", "width", "height", "duration_ms",
+    )
+    exact, near = asset_near_dup(
+        assets.unionByName(dup), threshold=0.999, n_cells=8
+    )
+    assert "cell_id" in near._jdf.queryExecution().analyzed().toString()
+    pairs = {(r["left_id"], r["right_id"]) for r in near.collect()}
+    assert ("a0003", "a9999") in pairs
+
+    # n_cells=1 keeps the exhaustive per-kind scan for verification sets
+    _, near1 = asset_near_dup(assets.unionByName(dup), threshold=0.999, n_cells=1)
+    assert "cell_id" not in near1._jdf.queryExecution().analyzed().toString()

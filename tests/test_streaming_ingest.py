@@ -397,3 +397,60 @@ def test_near_dup_flagging_replay_is_idempotent(spark, tmp_path):
         (r["left_id"], r["right_id"]) for r in store.read("near_dup_flags").collect()
     ) == once_flags
     assert store.read("dedup_band_index").count() == once_idx
+
+
+def test_band_index_read_prunes_partitions(spark, tmp_path):
+    """The per-batch standing-index read must PRUNE the dedup_band_index
+    scan to the batch's band_bucket partitions (PartitionFilters in the
+    plan), not scan the whole index and rely on the join — at 10^12 turns an
+    unpruned read is a per-batch full corpus-index scan (round-6 verdict
+    finding #1)."""
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        incremental_assemble,
+        pruned_band_index,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    handler = incremental_assemble(store, near_dups=True)
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in ND_BATCH_A],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    handler(batch, 0)
+
+    # the index is physically partitioned by band_bucket
+    idx_dir = tmp_path / "tables" / "dedup_band_index"
+    assert any(p.name.startswith("band_bucket=") for p in idx_dir.iterdir())
+
+    affected = batch.select("conv_id").distinct()
+    pruned = pruned_band_index(store, "dedup_band_index", [1, 2], affected)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "band_bucket" in pf
+
+
+def test_band_index_legacy_layout_refused(spark, tmp_path):
+    """A conv-bucketed (round-6 layout) index must be refused loudly — the
+    pruned match read cannot prune on it, and silently falling back to a
+    full scan per batch is the exact regression the bucketing fixes."""
+    import pytest
+
+    from lab02_citation_matching_and_entity_resolution_spark.streaming.ingest import (
+        flag_near_dups,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    legacy = spark.createDataFrame(
+        [("c1", 0, "k0", 3)],
+        "conv_id string, band_idx int, band_key string, conv_bucket int",
+    )
+    legacy.write.partitionBy("conv_bucket").parquet(
+        str(tmp_path / "tables" / "dedup_band_index")
+    )
+    docs = spark.createDataFrame([("c9", "some doc text here")],
+                                 "conv_id string, doc_text string")
+    with pytest.raises(RuntimeError, match="legacy conv_bucket layout"):
+        flag_near_dups(store, docs, docs.select("conv_id"))
