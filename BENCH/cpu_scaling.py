@@ -74,8 +74,16 @@ def run_at(cores: int, leg: str, rows: int) -> dict:
          str(cores), leg, str(rows)],
         capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # keep the diagnostic: an OOM/crash at the 4B-row default otherwise
+        # surfaces as a bare IndexError with stderr discarded (round-7 ADVICE)
+        raise RuntimeError(
+            f"runner local[{cores}] leg={leg} rows={rows} failed "
+            f"(rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

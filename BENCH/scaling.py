@@ -71,10 +71,13 @@ arrow_batch = int(os.environ.get("SPARK_GRAFT_SCALING_ARROW_BATCH", "10000"))
 spark = get_spark(app_name=f"er-scale-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(int(cores * sp_mult), sp_min))
 spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
-# fused-scaling diagnosis knob (round-6): "-1" disables broadcast joins so
-# the six per-pass payload joins resolve as shuffle joins — if fused's
-# 2->8 efficiency recovers with this set, the gap was serial broadcast
-# builds, not the dataflow
+# fused-scaling diagnosis knob (round-6): "-1" disables auto-broadcast.
+# NOTE (round-7 ADVICE): this knob predates the explicit shuffle_hash hints
+# on fused's six per-pass payload joins — join-strategy hints take
+# precedence over autoBroadcastJoinThreshold, so the knob no longer affects
+# those joins; it only changes the strategy of UNHINTED joins (e.g. the
+# classic stage's IDF join).  Kept for those legs and for historical
+# comparability of recorded runs.
 bcast = os.environ.get("SPARK_GRAFT_SCALING_BROADCAST", "")
 if bcast:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)

@@ -141,6 +141,17 @@ def fused_scored_pairs(
     instead of recomputing the TF-IDF sub-pipeline; at 72k docs that is
     ~0.6 GB — disable for corpora where docs alone exceed executor storage
     (the recompute is correct, just slower).
+
+    Memory precondition of the shuffle_hash hints: a ShuffledHashJoin BUILD
+    side must fit in task memory and does not spill.  The block-key
+    self-join's build side is one partition's payload-enriched membership
+    rows (~7 KB each); at the default shuffle partitioning that is
+    docs_rows x memberships / partitions x 7 KB per task.  For much larger
+    corpora, fewer shuffle partitions, or heavily skewed block keys, either
+    raise spark.sql.shuffle.partitions so per-partition builds stay in the
+    tens of MB, or strip the hints (SortMergeJoin spills gracefully at the
+    cost of re-sorting the heavy rows) — same caveat class as
+    ``persist_payload``.
     """
     cfg = cfg or BlockingConfig()
     spark = docs.sparkSession
