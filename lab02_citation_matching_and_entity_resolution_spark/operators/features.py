@@ -346,6 +346,7 @@ def pair_features(
     attach_tfidf: bool = True,
     tfidf_scope_cols: tuple[str, ...] | None = None,
     persist_payload: bool = True,
+    hash_vec_keys: bool = True,
 ) -> DataFrame:
     """Attach the full feature vector to candidate pairs.
 
@@ -384,11 +385,17 @@ def pair_features(
     ship_tfidf = attach_tfidf and tfidf_scope_cols is None
     l_extra, r_extra = [], []
     if ship_tfidf:
-        from .tfidf import doc_tfidf_maps
+        from .tfidf import doc_tfidf_maps, hashed_key_maps
 
         # left join: token-less docs keep NULL vectors; the cosine coalesces
-        # them to 0.0 — identical semantics to pair_tfidf_cosine's left joins
-        pay = pay.join(doc_tfidf_maps(docs), "conv_id", "left")
+        # them to 0.0 — identical semantics to pair_tfidf_cosine's left joins.
+        # hash_vec_keys (production default) ships int64 term keys instead of
+        # strings — see tfidf.hashed_key_maps; False keeps the string-keyed
+        # ride for the bit-parity witness test.
+        tw = doc_tfidf_maps(docs)
+        if hash_vec_keys:
+            tw = hashed_key_maps(tw)
+        pay = pay.join(tw, "conv_id", "left")
         l_extra, r_extra = ["terms", "weights"], ["vec"]
     if persist_payload:
         # one materialization feeds BOTH join sides.  Without it, column
@@ -428,6 +435,11 @@ def with_pair_feature_columns(joined: DataFrame) -> DataFrame:
             inter / (na + nb - inter)
         )
 
+    # token-set jaccard denominator by the same size arithmetic (sets are
+    # already distinct doc-side, so |union| = na + nb - |inter| exactly)
+    tok_inter = F.size(F.array_intersect("l_tokset", "r_tokset"))
+    tok_union_n = F.size("l_tokset") + F.size("r_tokset") - tok_inter
+
     return (
         joined.withColumn(
             "levenshtein",
@@ -445,15 +457,14 @@ def with_pair_feature_columns(joined: DataFrame) -> DataFrame:
         )
         # token set ops on the PRE-DEDUPED doc-side arrays (same reference
         # semantics as jaccard_col/overlap_*_col, which the unit tests pin;
-        # computing array_distinct per pair would repeat it 4x per row)
+        # computing array_distinct per pair would repeat it 4x per row).
+        # Size-arithmetic union skips building the per-pair union hash set
+        # + output array (array_union) — allocation bandwidth is this box's
+        # shared wall (BENCH/cpu_scaling.py alloc leg); values identical
+        # (tok_union_n == 0 iff both sets empty, the old predicate)
         .withColumn(
             "jaccard",
-            F.when(
-                F.size(F.array_union("l_tokset", "r_tokset")) == 0, F.lit(0.0)
-            ).otherwise(
-                F.size(F.array_intersect("l_tokset", "r_tokset"))
-                / F.size(F.array_union("l_tokset", "r_tokset"))
-            ),
+            F.when(tok_union_n == 0, F.lit(0.0)).otherwise(tok_inter / tok_union_n),
         )
         .withColumn("token_overlap", F.size(F.array_intersect("l_tokset", "r_tokset")))
         .withColumn(

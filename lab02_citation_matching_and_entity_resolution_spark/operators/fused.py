@@ -56,7 +56,7 @@ from .features import (
     with_pair_feature_columns,
 )
 from .scoring import score_pairs_rule
-from .tfidf import doc_tfidf_maps
+from .tfidf import doc_tfidf_maps, hashed_key_maps
 
 # slim output carried per scored pair (everything downstream needs; no
 # payload arrays survive past the scoring stage)
@@ -158,8 +158,15 @@ def fused_scored_pairs(
 
     # one payload per doc: feature inputs + TF-IDF terms/weights/vec (left
     # join: token-less docs keep NULL vectors, the dot coalesces to 0.0 —
-    # same as pair_tfidf_cosine's left joins)
-    pay = doc_payload(docs).join(doc_tfidf_maps(docs, scope_cols=scope_cols), "conv_id", "left")
+    # same as pair_tfidf_cosine's left joins).  Term keys ship xxhash64-
+    # encoded (int64) — the vector columns are the widest part of the
+    # membership rows the block self-join shuffles, and the dot only does
+    # exact-match lookups (tfidf.hashed_key_maps; parity pinned by tests).
+    pay = doc_payload(docs).join(
+        hashed_key_maps(doc_tfidf_maps(docs, scope_cols=scope_cols)),
+        "conv_id",
+        "left",
+    )
     if persist_payload:
         pay = pay.persist()
 

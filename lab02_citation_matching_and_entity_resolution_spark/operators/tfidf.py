@@ -120,6 +120,32 @@ def doc_tfidf_maps(
     )
 
 
+def hashed_key_maps(tw: DataFrame) -> DataFrame:
+    """doc_tfidf_maps output with term keys xxhash64-encoded to int64.
+
+    The ride-along vector columns (l_terms strings + r_vec string-keyed map)
+    are the widest columns of the heavy second pair join's shuffle rows;
+    8-byte long keys shrink them ~2x (guide §2.3 "narrower types") and the
+    cosine fold's map probe compares longs instead of UTF8Strings.  The dot
+    product only ever does exact-match lookups within one fit, so values are
+    unchanged absent a 64-bit collision inside a single vocabulary
+    (P < 1e-10 at realistic vocabulary sizes; bit-parity with the string
+    path is pinned by tests).  The string-keyed frame remains the public
+    doc_tfidf_maps output — catalog/oracle queries never see hashed keys.
+    """
+    hashed = tw.select(
+        "conv_id",
+        F.transform("terms", lambda t: F.xxhash64(t)).alias("terms"),
+        "weights",
+    )
+    return hashed.select(
+        "conv_id",
+        "terms",
+        "weights",
+        F.map_from_arrays("terms", "weights").alias("vec"),
+    )
+
+
 def pair_tfidf_cosine(
     pairs: DataFrame,
     docs: DataFrame,
