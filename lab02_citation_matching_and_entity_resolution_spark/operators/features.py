@@ -319,8 +319,13 @@ def doc_payload(docs: DataFrame) -> DataFrame:
         F.substring("doc_text", 1, LEV_PREFIX_CAP).alias("pfx"),
         hashed(F.array_distinct(F.col("tokens"))).alias("tokset"),
         F.size(F.col("tokens")).alias("ntok"),
-        F.concat(F.col("roles"), F.col("tools")).alias("sig"),
-        F.col("tools").alias("tools"),
+        # sig/tools ship as xxhash64 int64 SETS (distinct applied doc-side;
+        # roles/tools are null-free collect_set outputs, and the consumers
+        # — role_tool_overlap's jaccard, signature_match's any-shared — are
+        # set ops, so per-pair array_distinct + string compares are replaced
+        # by long-set size arithmetic (same move as tokset; round-7 §14)
+        hashed(F.array_distinct(F.concat(F.col("roles"), F.col("tools")))).alias("sig"),
+        hashed(F.col("tools")).alias("tools"),
         F.col("year_like").alias("year"),
         *[hashed(F.col(f"_shr{n}")).alias(f"sh{n}") for n in (3, 4, 5)],
         *[F.size(F.col(f"_shr{n}")).alias(f"nsh{n}") for n in (3, 4, 5)],
@@ -477,8 +482,33 @@ def with_pair_feature_columns(joined: DataFrame) -> DataFrame:
         .withColumn("char_ngram_3", ngram_jac(3))
         .withColumn("char_ngram_4", ngram_jac(4))
         .withColumn("char_ngram_5", ngram_jac(5))
-        .withColumn("role_tool_overlap", either_empty_jaccard_col(F.col("l_sig"), F.col("r_sig")))
-        .withColumn("signature_match", any_shared_col(F.col("l_tools"), F.col("r_tools")))
+        # l_sig/l_tools arrive as pre-distinct hashed sets from doc_payload:
+        # the same jaccard/any-shared semantics as either_empty_jaccard_col/
+        # any_shared_col (pinned equivalent by
+        # tests/test_fused_scoring.py::test_sig_tool_features_match_reference_functions)
+        # without the per-pair array_distinct/array_union allocations
+        .withColumn(
+            "role_tool_overlap",
+            F.when(
+                (F.size("l_sig") == 0) | (F.size("r_sig") == 0), F.lit(0.0)
+            ).otherwise(
+                F.size(F.array_intersect("l_sig", "r_sig"))
+                / (
+                    F.size("l_sig") + F.size("r_sig")
+                    - F.size(F.array_intersect("l_sig", "r_sig"))
+                )
+            ),
+        )
+        .withColumn(
+            "signature_match",
+            F.when(
+                (F.size("l_tools") == 0) | (F.size("r_tools") == 0), F.lit(0.0)
+            ).otherwise(
+                F.when(
+                    F.size(F.array_intersect("l_tools", "r_tools")) > 0, F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+            ),
+        )
         .withColumn("year_match", year_match_col(F.col("l_year"), F.col("r_year")))
         .withColumn("year_diff", year_diff_col(F.col("l_year"), F.col("r_year")))
         .withColumn("source_year", F.col("l_year"))

@@ -144,3 +144,39 @@ def test_hashed_vec_keys_bit_parity(spark, docs):
         pair_tfidf_cosine(pair_features(pairs, docs, hash_vec_keys=False), docs)
     ).select(*cols)
     assert _rows(hashed) == _rows(stringk)
+
+
+def test_sig_tool_features_match_reference_functions(spark, docs):
+    """doc_payload ships sig/tools as pre-distinct hashed sets and the chain
+    computes role_tool_overlap / signature_match by size arithmetic; both
+    must equal the reference column functions (either_empty_jaccard_col /
+    any_shared_col, pinned by unit tests) applied to the RAW doc arrays."""
+    from lab02_citation_matching_and_entity_resolution_spark.operators.features import (
+        any_shared_col,
+        either_empty_jaccard_col,
+    )
+
+    pairs, _ = candidate_pairs(docs, BlockingConfig())
+    got = pair_features(pairs, docs).select(
+        "left_id", "right_id", "role_tool_overlap", "signature_match"
+    )
+    raw = docs.select(
+        "conv_id",
+        F.concat(F.col("roles"), F.col("tools")).alias("sig_raw"),
+        F.col("tools").alias("tools_raw"),
+    )
+    want = (
+        pairs.select("left_id", "right_id")
+        .join(raw.select(F.col("conv_id").alias("left_id"),
+                         F.col("sig_raw").alias("l_s"),
+                         F.col("tools_raw").alias("l_t")), "left_id")
+        .join(raw.select(F.col("conv_id").alias("right_id"),
+                         F.col("sig_raw").alias("r_s"),
+                         F.col("tools_raw").alias("r_t")), "right_id")
+        .select(
+            "left_id", "right_id",
+            either_empty_jaccard_col(F.col("l_s"), F.col("r_s")).alias("role_tool_overlap"),
+            any_shared_col(F.col("l_t"), F.col("r_t")).alias("signature_match"),
+        )
+    )
+    assert _rows(got) == _rows(want)
